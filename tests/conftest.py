@@ -1,0 +1,19 @@
+"""Test config: CPU backend with 8 virtual devices, float64 for numerics checks.
+
+Multi-chip sharding semantics are tested on a virtual CPU mesh
+(XLA_FORCE_HOST_PLATFORM_DEVICE_COUNT=8), the standard way to validate
+pjit/shard_map programs without a pod. Production code is dtype-polymorphic;
+tests run in float64 to compare against reference-precision numerics.
+"""
+import os
+
+# NB: the environment exports JAX_PLATFORMS=axon (real TPU tunnel) and the env
+# var is overridden at import; jax.config.update is the reliable way to pin CPU.
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
