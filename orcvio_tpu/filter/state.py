@@ -1,0 +1,145 @@
+"""Filter state as a pure pytree with static shapes.
+
+TPU-native redesign of the reference's ``StateServer`` (``orcvio.h:128-172``):
+dynamic ``std::map`` clone/feature servers and ``conservativeResize``d
+covariance become fixed-capacity ring buffers + validity masks and a
+fixed-dimension covariance whose blocks are written in place. The whole state
+is a pytree, so it jits, vmaps (many-sequence data parallelism), shards, and
+checkpoints (orbax) for free.
+
+Error-state layout (matches orcvio.cpp:201-222):
+  [0:3]   theta        (orientation, left- or right-perturbation per config)
+  [3:6]   v
+  [6:9]   p
+  [9:12]  bg
+  [12:15] ba
+  [15:21] extrinsic (theta_ic, t_ic)
+  [21]    td
+  [22 + 6*k : 28 + 6*k]  clone k: [theta_clone, p_clone]
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..config.core import FilterConfig
+
+LEG = 22
+THETA = slice(0, 3)
+VEL = slice(3, 6)
+POS = slice(6, 9)
+BG = slice(9, 12)
+BA = slice(12, 15)
+
+
+class ImuState(struct.PyTreeNode):
+    """IMU mean state. Orientation stored as R: body->world (imu_state.h:53)."""
+
+    R: jnp.ndarray  # (3, 3)
+    v: jnp.ndarray  # (3,)
+    p: jnp.ndarray  # (3,)
+    bg: jnp.ndarray  # (3,)
+    ba: jnp.ndarray  # (3,)
+
+    @classmethod
+    def identity(cls, dtype=jnp.float32):
+        z = jnp.zeros(3, dtype)
+        return cls(R=jnp.eye(3, dtype=dtype), v=z, p=z, bg=z, ba=z)
+
+
+class CloneStates(struct.PyTreeNode):
+    """Sliding-window IMU pose clones, ring-buffer layout (slot != age).
+
+    Replaces ``imu_states_augment`` (imu_state.h:103 IMUState_Aug +
+    std::map server). ``order`` is a monotonically increasing insertion
+    counter used to recover temporal order without shifting memory.
+    """
+
+    R: jnp.ndarray  # (SW, 3, 3) body->world at clone time
+    p: jnp.ndarray  # (SW, 3)
+    p_fej: jnp.ndarray  # (SW, 3) first-estimate position
+    t: jnp.ndarray  # (SW,) timestamp
+    order: jnp.ndarray  # (SW,) int32 insertion counter, -1 = invalid
+    valid: jnp.ndarray  # (SW,) bool
+
+    @classmethod
+    def empty(cls, sw: int, dtype=jnp.float32):
+        return cls(
+            R=jnp.tile(jnp.eye(3, dtype=dtype), (sw, 1, 1)),
+            p=jnp.zeros((sw, 3), dtype),
+            p_fej=jnp.zeros((sw, 3), dtype),
+            t=jnp.zeros((sw,), dtype),
+            order=-jnp.ones((sw,), jnp.int32),
+            valid=jnp.zeros((sw,), bool),
+        )
+
+
+class FeatureTable(struct.PyTreeNode):
+    """Per-feature observations aligned to clone slots.
+
+    Replaces the MSCKF ``Feature.observations`` map keyed by state id
+    (feature.hpp:206): obs[f, c] is the normalized (u, v) of feature f in
+    clone slot c, with obs_valid[f, c] the mask. Feature identity is a row;
+    rows are recycled when features die.
+    """
+
+    uv: jnp.ndarray  # (F, SW, 2) normalized image coords
+    uv_valid: jnp.ndarray  # (F, SW) bool
+    fid: jnp.ndarray  # (F,) int32 external track id, -1 = free row
+    active: jnp.ndarray  # (F,) bool — still being tracked this frame
+
+    @classmethod
+    def empty(cls, f_cap: int, sw: int, dtype=jnp.float32):
+        return cls(
+            uv=jnp.zeros((f_cap, sw, 2), dtype),
+            uv_valid=jnp.zeros((f_cap, sw), bool),
+            fid=-jnp.ones((f_cap,), jnp.int32),
+            active=jnp.zeros((f_cap,), bool),
+        )
+
+
+class FilterState(struct.PyTreeNode):
+    """The complete filter state pytree (StateServer equivalent)."""
+
+    t: jnp.ndarray  # scalar time of imu state
+    imu: ImuState
+    imu_old: ImuState  # state before last propagation step (orcvio.h: imu_state_old)
+    imu_fej_now: ImuState
+    imu_fej_old: ImuState
+    td: jnp.ndarray  # scalar
+    R_b2c: jnp.ndarray  # (3, 3) imu->camera rotation (imu_state.h:66)
+    t_c_b: jnp.ndarray  # (3,) camera position in imu frame
+    clones: CloneStates
+    features: FeatureTable
+    P: jnp.ndarray  # (D, D) error-state covariance
+    next_order: jnp.ndarray  # int32 clone insertion counter
+    initialized: jnp.ndarray  # bool — static/dynamic init done
+    last_gyro: jnp.ndarray  # (3,) last raw gyro (m_gyro_old, orcvio.cpp:703)
+    last_acc: jnp.ndarray  # (3,) last raw acc
+
+    @classmethod
+    def create(cls, cfg: FilterConfig, dtype=jnp.float32):
+        imu = ImuState.identity(dtype)
+        D = cfg.state_dim
+        P = jnp.diag(jnp.asarray(cfg.initial_cov_diag(), dtype))
+        return cls(
+            t=jnp.zeros((), dtype),
+            imu=imu,
+            imu_old=imu,
+            imu_fej_now=imu,
+            imu_fej_old=imu,
+            td=jnp.asarray(cfg.td, dtype),
+            R_b2c=jnp.eye(3, dtype=dtype),
+            t_c_b=jnp.zeros(3, dtype),
+            clones=CloneStates.empty(cfg.sw_size, dtype),
+            features=FeatureTable.empty(cfg.max_features, cfg.sw_size, dtype),
+            P=P,
+            next_order=jnp.zeros((), jnp.int32),
+            initialized=jnp.zeros((), bool),
+            last_gyro=jnp.zeros(3, dtype),
+            last_acc=jnp.zeros(3, dtype),
+        )
+
+
+def clone_slice(slot: int):
+    return slice(LEG + 6 * slot, LEG + 6 * (slot + 1))
