@@ -1,0 +1,171 @@
+"""Synthetic VIO world: analytic trajectory, autodiff-exact IMU, landmark tracks.
+
+The reference has no simulator (its tests use recorded .h5 fixtures); this is
+the framework's controlled-truth integration harness: a smooth analytic SE(3)
+trajectory whose exact body-rate gyro/accel are obtained by automatic
+differentiation, plus projected landmark observations — used by the end-to-end
+filter tests and as the benchmark workload.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..filter.pipeline import FrameInput
+from ..math import so3
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    n_frames: int = 100
+    frame_hz: float = 20.0
+    imu_hz: float = 200.0
+    imu_slab: int = 24
+    n_landmarks: int = 300
+    max_obs: int = 60  # measurement capacity per frame
+    radius: float = 3.0
+    omega: float = 0.6  # trajectory angular frequency
+    gravity: float = 9.81
+    fov_limit: float = 1.2  # normalized-coordinate field of view (~100 deg)
+    uv_noise: float = 0.002
+    gyro_noise: float = 0.004
+    acc_noise: float = 0.08
+    seed: int = 0
+
+
+def trajectory_pose(sim: SimConfig, t):
+    """Analytic (R(t), p(t)): a circle with yaw tracking + roll/pitch wobble."""
+    w = sim.omega
+    p = jnp.stack(
+        [
+            sim.radius * jnp.sin(w * t),
+            sim.radius * (1.0 - jnp.cos(w * t)),
+            0.4 * jnp.sin(0.7 * w * t),
+        ]
+    )
+    yaw = w * t
+    roll = 0.15 * jnp.sin(1.3 * w * t)
+    pitch = 0.12 * jnp.sin(0.9 * w * t + 0.5)
+    R = so3.exp(jnp.stack([jnp.zeros_like(yaw), jnp.zeros_like(yaw), yaw])) @ so3.exp(
+        jnp.stack([roll, pitch, jnp.zeros_like(roll)])
+    )
+    return R, p
+
+
+def imu_measurements(sim: SimConfig, t):
+    """Exact gyro/accel at time t via autodiff of the analytic trajectory."""
+
+    def pose_flat(tt):
+        R, p = trajectory_pose(sim, tt)
+        return jnp.concatenate([R.reshape(9), p])
+
+    d = jax.jacobian(pose_flat)(t)
+    dd = jax.jacobian(lambda tt: jax.jacobian(pose_flat)(tt))(t)
+    R, _ = trajectory_pose(sim, t)
+    Rdot = d[:9].reshape(3, 3)
+    pddot = dd[9:12]
+    gyro = so3.vee(R.T @ Rdot)
+    g_w = jnp.asarray([0.0, 0.0, -sim.gravity])
+    acc = R.T @ (pddot - g_w)
+    return gyro, acc
+
+
+def make_landmarks(sim: SimConfig):
+    rng = np.random.default_rng(sim.seed)
+    # ring of landmarks around / outside the circle, various heights
+    ang = rng.uniform(0, 2 * np.pi, sim.n_landmarks)
+    rad = rng.uniform(sim.radius + 1.5, sim.radius + 6.0, sim.n_landmarks)
+    z = rng.uniform(-2.0, 3.0, sim.n_landmarks)
+    pts = np.stack([rad * np.sin(ang), rad * (1 - np.cos(ang)) , z], axis=1)
+    # recentre roughly on the circle's center (0, r)
+    pts[:, 1] = rng.uniform(-3.0, sim.radius * 2 + 3.0, sim.n_landmarks)
+    pts[:, 0] = rng.uniform(-sim.radius - 4, sim.radius + 4, sim.n_landmarks)
+    return jnp.asarray(pts)
+
+
+class SimData(NamedTuple):
+    frames: FrameInput  # stacked over time, leading dim n_frames
+    gt_R: jnp.ndarray  # (T, 3, 3)
+    gt_p: jnp.ndarray  # (T, 3)
+    gt_v: jnp.ndarray  # (T, 3)
+    landmarks: jnp.ndarray
+
+
+def generate(sim: SimConfig, R_b2c=None, t_c_b=None) -> SimData:
+    """Build the full stacked FrameInput sequence (host-side, numpy speed)."""
+    if R_b2c is None:
+        R_b2c = jnp.eye(3)
+    if t_c_b is None:
+        t_c_b = jnp.zeros(3)
+    rng = np.random.default_rng(sim.seed + 1)
+    dt_f = 1.0 / sim.frame_hz
+    dt_i = 1.0 / sim.imu_hz
+    lm = make_landmarks(sim)
+
+    frame_ts = (np.arange(sim.n_frames) + 1) * dt_f
+
+    # IMU samples per frame: (t_{k-1}, t_k]
+    imu_fn = jax.jit(jax.vmap(lambda t: imu_measurements(sim, t)))
+    pose_fn = jax.jit(jax.vmap(lambda t: trajectory_pose(sim, t)))
+    vel_fn = jax.jit(jax.vmap(jax.jacobian(lambda t: trajectory_pose(sim, t)[1])))
+
+    all_imu_t = []
+    all_mask = []
+    for k, t_img in enumerate(frame_ts):
+        t_prev = t_img - dt_f
+        ts = t_prev + dt_i * (1 + np.arange(sim.imu_slab))
+        mask = ts <= t_img + 1e-9
+        all_imu_t.append(ts)
+        all_mask.append(mask)
+    imu_t = np.stack(all_imu_t)  # (T, S)
+    imu_mask = np.stack(all_mask)
+    gyro, acc = imu_fn(jnp.asarray(imu_t.reshape(-1)))
+    gyro = np.asarray(gyro).reshape(sim.n_frames, sim.imu_slab, 3)
+    acc = np.asarray(acc).reshape(sim.n_frames, sim.imu_slab, 3)
+    gyro = gyro + rng.normal(size=gyro.shape) * sim.gyro_noise
+    acc = acc + rng.normal(size=acc.shape) * sim.acc_noise
+
+    gt_R, gt_p = pose_fn(jnp.asarray(frame_ts))
+    gt_v = vel_fn(jnp.asarray(frame_ts))
+    gt_R = np.asarray(gt_R)
+    gt_p = np.asarray(gt_p)
+
+    # observations
+    M = sim.max_obs
+    fids = np.full((sim.n_frames, M), -1, np.int32)
+    uvs = np.zeros((sim.n_frames, M, 2))
+    uv_vels = np.zeros((sim.n_frames, M, 2))
+    meas_mask = np.zeros((sim.n_frames, M), bool)
+    R_b2c_n = np.asarray(R_b2c)
+    t_c_b_n = np.asarray(t_c_b)
+    lm_n = np.asarray(lm)
+    for k in range(sim.n_frames):
+        R_c2w = gt_R[k] @ R_b2c_n.T
+        t_cw = gt_p[k] + gt_R[k] @ t_c_b_n
+        pc = (lm_n - t_cw) @ R_c2w  # (N, 3) in camera frame
+        vis = (pc[:, 2] > 0.5) & (np.abs(pc[:, 0] / np.maximum(pc[:, 2], 1e-6)) < sim.fov_limit) & (
+            np.abs(pc[:, 1] / np.maximum(pc[:, 2], 1e-6)) < sim.fov_limit
+        )
+        idx = np.nonzero(vis)[0][:M]
+        n = len(idx)
+        fids[k, :n] = idx
+        uv = pc[idx, :2] / pc[idx, 2:3]
+        uvs[k, :n] = uv + rng.normal(size=(n, 2)) * sim.uv_noise
+        meas_mask[k, :n] = True
+
+    frames = FrameInput(
+        t=jnp.asarray(frame_ts),
+        imu_t=jnp.asarray(imu_t),
+        imu_gyro=jnp.asarray(gyro),
+        imu_acc=jnp.asarray(acc),
+        imu_mask=jnp.asarray(imu_mask),
+        fids=jnp.asarray(fids),
+        uvs=jnp.asarray(uvs),
+        uv_vels=jnp.asarray(uv_vels),
+        meas_mask=jnp.asarray(meas_mask),
+    )
+    return SimData(frames=frames, gt_R=jnp.asarray(gt_R), gt_p=jnp.asarray(gt_p), gt_v=jnp.asarray(gt_v), landmarks=lm)

@@ -1,0 +1,137 @@
+"""The per-frame filter step: propagate -> augment -> ingest -> update -> prune.
+
+TPU-native equivalent of ``OrcVIO::processFeatures`` (orcvio.cpp:500) minus
+initialization (init/ subpackage) and objects (objects/ subpackage): a pure
+jittable function FilterState x FrameInput -> FilterState x FrameOutput,
+designed to be driven by ``lax.scan`` over a trajectory and ``vmap``/shard_map
+over many trajectories.
+
+Deviations from the reference's control flow (documented):
+ * The pruning "last-chance" update on observations dying with pruned clones
+   (orcvio.cpp:2803-2851) is not performed; those observations are dropped.
+   Pruned clones are by construction motion-redundant, and with
+   max_track_len << sw_size almost all tracks finish before pruning reaches
+   them.
+ * The reference runs the lost-feature update then a second update inside
+   pruning; we run one combined update per frame.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config.core import FilterConfig
+from ..math import linalg
+from . import features as feat
+from . import propagation as prop
+from .augment import (
+    cam_poses,
+    current_clone_slot,
+    prune_clones,
+    select_prune_slots,
+    state_augmentation,
+)
+from .state import FilterState
+from .triangulation import check_motion, triangulate
+from .update import feature_jacobians, gate_features, msckf_update
+
+
+class FrameInput(NamedTuple):
+    """One camera frame + its IMU slab (pre-binned at dataset load)."""
+
+    t: jnp.ndarray  # scalar image timestamp
+    imu_t: jnp.ndarray  # (S,)
+    imu_gyro: jnp.ndarray  # (S, 3)
+    imu_acc: jnp.ndarray  # (S, 3)
+    imu_mask: jnp.ndarray  # (S,)
+    fids: jnp.ndarray  # (M,) int32 feature track ids
+    uvs: jnp.ndarray  # (M, 2) normalized coords
+    uv_vels: jnp.ndarray  # (M, 2)
+    meas_mask: jnp.ndarray  # (M,)
+
+
+class FrameOutput(NamedTuple):
+    t: jnp.ndarray
+    R: jnp.ndarray  # (3, 3) body->world
+    p: jnp.ndarray  # (3,)
+    v: jnp.ndarray  # (3,)
+    n_update_features: jnp.ndarray
+    dx_norm: jnp.ndarray
+
+
+def build_chi2_table(cfg: FilterConfig, dtype=jnp.float32):
+    return linalg.chi_squared_table(cfg.chi2_confidence).astype(dtype)
+
+
+def filter_step(cfg: FilterConfig, state: FilterState, frame: FrameInput, chi2_table):
+    """One frame. Ref call stack: orcvio.cpp:500-660 (processFeatures)."""
+    # 1. IMU propagation to the frame time (batchImuProcessing, :567)
+    state = prop.imu_batch(cfg, state, frame.imu_t, frame.imu_gyro, frame.imu_acc, frame.imu_mask)
+
+    # 2. clone augmentation (:930)
+    state = state_augmentation(cfg, state)
+    cur_slot = current_clone_slot(state)
+
+    # 3. ingest feature measurements (addFeatureObservations, :1016)
+    prev_live = jnp.sum(state.features.active)
+    table, tracked = feat.add_observations(
+        state.features, cur_slot, frame.fids, frame.uvs, frame.uv_vels, frame.meas_mask
+    )
+    state = state.replace(features=table)
+    tracking_rate = tracked / jnp.maximum(prev_live, 1)
+
+    # 4. classification (removeLostFeatures, :2196)
+    live = state.features.fid >= 0
+    active = state.features.active
+    tl = feat.track_lengths(state.features)
+    lost = live & ~active
+    too_long = live & active & (tl >= cfg.max_track_len)
+    finished = lost | too_long
+    enough = tl >= cfg.min_track_len  # least_observation_number
+
+    # 5. triangulation (feature.hpp:583); exclude the current clone obs
+    #    (initializePosition skips curr_id, feature.hpp:416)
+    sw = cfg.sw_size
+    not_cur = jnp.arange(sw)[None, :] != cur_slot
+    tri_mask = state.features.uv_valid & (not_cur | ~active[:, None])
+    R_c2w, t_c_w = cam_poses(state)
+    motion_ok = check_motion(
+        state.features.uv, tri_mask, R_c2w, t_c_w, state.clones.order, cfg.tri_translation_threshold
+    )
+    tri = triangulate(cfg, state.features.uv, tri_mask, R_c2w, t_c_w, state.clones.order)
+
+    # 6. Jacobians over the full track (featureJacobian_msckf uses all obs)
+    obs_mask = state.features.uv_valid
+    fj = feature_jacobians(cfg, state, tri.p_world, obs_mask)
+    gated = gate_features(cfg, state, fj, chi2_table)
+    use = finished & enough & motion_ok & tri.valid & fj.usable & gated
+
+    state, dx = msckf_update(cfg, state, fj, use)
+
+    # 7. cleanup: erase finished features (map_server.erase, :2570-2576)
+    state = state.replace(features=feat.free_rows(state.features, finished))
+
+    # 8. prune clones when the window is full (pruneImuStateBuffer, :2629)
+    prune_mask, _ = select_prune_slots(cfg, state, tracking_rate)
+    state = prune_clones(state, prune_mask)
+
+    out = FrameOutput(
+        t=state.t,
+        R=state.imu.R,
+        p=state.imu.p,
+        v=state.imu.v,
+        n_update_features=jnp.sum(use),
+        dx_norm=jnp.linalg.norm(dx),
+    )
+    return state, out
+
+
+def run_sequence(cfg: FilterConfig, state: FilterState, frames: FrameInput, chi2_table):
+    """lax.scan over a whole trajectory of stacked FrameInputs."""
+
+    def step(st, fr):
+        return filter_step(cfg, st, fr, chi2_table)
+
+    return jax.lax.scan(step, state, frames)

@@ -84,6 +84,7 @@ class FeatureTable(struct.PyTreeNode):
     """
 
     uv: jnp.ndarray  # (F, SW, 2) normalized image coords
+    uv_vel: jnp.ndarray  # (F, SW, 2) normalized image velocity (for td column)
     uv_valid: jnp.ndarray  # (F, SW) bool
     fid: jnp.ndarray  # (F,) int32 external track id, -1 = free row
     active: jnp.ndarray  # (F,) bool — still being tracked this frame
@@ -92,6 +93,7 @@ class FeatureTable(struct.PyTreeNode):
     def empty(cls, f_cap: int, sw: int, dtype=jnp.float32):
         return cls(
             uv=jnp.zeros((f_cap, sw, 2), dtype),
+            uv_vel=jnp.zeros((f_cap, sw, 2), dtype),
             uv_valid=jnp.zeros((f_cap, sw), bool),
             fid=-jnp.ones((f_cap,), jnp.int32),
             active=jnp.zeros((f_cap,), bool),
