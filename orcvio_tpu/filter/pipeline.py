@@ -34,6 +34,7 @@ from .augment import (
     state_augmentation,
 )
 from .state import FilterState
+from .tracks import compact_tracks
 from .triangulation import check_motion, triangulate
 from .update import feature_jacobians, gate_features, msckf_update
 
@@ -93,18 +94,15 @@ def filter_step(cfg: FilterConfig, state: FilterState, frame: FrameInput, chi2_t
 
     # 5. triangulation (feature.hpp:583); exclude the current clone obs
     #    (initializePosition skips curr_id, feature.hpp:416)
-    sw = cfg.sw_size
-    not_cur = jnp.arange(sw)[None, :] != cur_slot
-    tri_mask = state.features.uv_valid & (not_cur | ~active[:, None])
+    ct = compact_tracks(state.features, state.clones.order, cfg.max_track_len)
+    tri_entry_mask = ct.mask & ~(active[:, None] & (ct.slot == cur_slot))
+    ct_tri = ct._replace(mask=tri_entry_mask, n_obs=jnp.sum(tri_entry_mask, axis=1).astype(jnp.int32))
     R_c2w, t_c_w = cam_poses(state)
-    motion_ok = check_motion(
-        state.features.uv, tri_mask, R_c2w, t_c_w, state.clones.order, cfg.tri_translation_threshold
-    )
-    tri = triangulate(cfg, state.features.uv, tri_mask, R_c2w, t_c_w, state.clones.order)
+    motion_ok = check_motion(ct_tri, R_c2w, t_c_w, cfg.tri_translation_threshold)
+    tri = triangulate(cfg, ct_tri, R_c2w, t_c_w)
 
     # 6. Jacobians over the full track (featureJacobian_msckf uses all obs)
-    obs_mask = state.features.uv_valid
-    fj = feature_jacobians(cfg, state, tri.p_world, obs_mask)
+    fj = feature_jacobians(cfg, state, ct, tri.p_world)
     gated = gate_features(cfg, state, fj, chi2_table)
     use = finished & enough & motion_ok & tri.valid & fj.usable & gated
 

@@ -2,16 +2,16 @@
 
 TPU-native equivalent of the per-feature triangulation in
 ``include/orcvio/feat/feature.hpp`` (generateInitialGuess :331, checkMotion
-:353, triangulate_position :583, cost :271, jacobian :293): one vmapped
-computation over the whole feature table, with per-observation masks instead
-of dynamic observation lists and a fixed-iteration damped Gauss-Newton loop
-with accept/reject masking instead of the reference's nested adaptive loops
-(inner/outer are capped at 10 there anyway; we run a fixed budget of damped
-steps with per-feature lambda adaptation — same fixed-point, jit-friendly).
+:353, triangulate_position :583, cost :271, jacobian :293): one batched
+computation over compacted tracks (see tracks.py), with per-observation masks
+instead of dynamic observation lists and a fixed-iteration damped Gauss-Newton
+loop with accept/reject masking instead of the reference's nested adaptive
+loops (inner/outer are capped at 10 there anyway; we run a fixed budget of
+damped steps with per-feature lambda adaptation — same fixed point,
+jit-friendly).
 
-Parametrization matches the reference: anchor frame = last (most recent)
-observed clone; solve for (alpha, beta, rho) = (x/z, y/z, 1/z) in the anchor
-camera frame.
+Parametrization matches the reference: anchor frame = newest observed clone;
+solve for (alpha, beta, rho) = (x/z, y/z, 1/z) in the anchor camera frame.
 """
 from __future__ import annotations
 
@@ -21,70 +21,62 @@ import jax
 import jax.numpy as jnp
 
 from ..config.core import FilterConfig
-from ..math import so3
+from .tracks import CompactTracks
 
 
 class TriResult(NamedTuple):
     p_anchor: jnp.ndarray  # (F, 3) position in anchor cam frame
     p_world: jnp.ndarray  # (F, 3)
-    anchor_slot: jnp.ndarray  # (F,) int32
+    anchor_slot: jnp.ndarray  # (F,) int32 clone slot of the anchor
     valid: jnp.ndarray  # (F,) bool
     inv_param: jnp.ndarray  # (F, 3) (alpha, beta, rho) in anchor frame
 
 
-def _anchor_and_first(obs_mask, clone_order):
-    """Slots of the newest and oldest observed clones per feature."""
-    order = jnp.where(obs_mask, clone_order[None, :], jnp.iinfo(jnp.int32).min)
-    anchor = jnp.argmax(order, axis=1)
-    order_f = jnp.where(obs_mask, clone_order[None, :], jnp.iinfo(jnp.int32).max)
-    first = jnp.argmin(order_f, axis=1)
-    return anchor, first
+def _gathered_cams(ct: CompactTracks, R_c2w, t_c_w):
+    return R_c2w[ct.slot], t_c_w[ct.slot]  # (F, T, 3, 3), (F, T, 3)
 
 
-def check_motion(uv, obs_mask, R_c2w, t_c_w, clone_order, threshold):
+def _anchor_index(ct: CompactTracks):
+    """Index (into the compact axis) of the newest valid obs."""
+    return jnp.maximum(ct.n_obs - 1, 0)
+
+
+def check_motion(ct: CompactTracks, R_c2w, t_c_w, threshold):
     """Parallax check. Ref: Feature::checkMotion (feature.hpp:353).
 
-    Direction of the first observation (world frame) vs translation between
-    first and last observing cameras; passes when the orthogonal component
-    exceeds the threshold. threshold < 0 disables the check (euroc.yaml uses
-    feature_translation_threshold: -1).
+    threshold < 0 disables (euroc.yaml: feature_translation_threshold: -1).
     """
-    anchor, first = _anchor_and_first(obs_mask, clone_order)
-    z0 = jnp.take_along_axis(uv, first[:, None, None], axis=1)[:, 0]  # (F, 2)
+    Rg, tg = _gathered_cams(ct, R_c2w, t_c_w)
+    a = _anchor_index(ct)
+    z0 = ct.uv[:, 0]  # oldest obs
     dir0 = jnp.concatenate([z0, jnp.ones_like(z0[:, :1])], axis=1)
     dir0 = dir0 / jnp.linalg.norm(dir0, axis=1, keepdims=True)
-    dir_w = jnp.einsum("fij,fj->fi", R_c2w[first], dir0)
-    trans = t_c_w[anchor] - t_c_w[first]
+    dir_w = jnp.einsum("fij,fj->fi", Rg[:, 0], dir0)
+    t_last = jnp.take_along_axis(tg, a[:, None, None], axis=1)[:, 0]
+    trans = t_last - tg[:, 0]
     par = jnp.sum(trans * dir_w, axis=1)
     ortho = trans - par[:, None] * dir_w
-    ok = jnp.linalg.norm(ortho, axis=1) > threshold
-    return ok | (threshold < 0)
+    return (jnp.linalg.norm(ortho, axis=1) > threshold) | (threshold < 0)
 
 
-def triangulate(cfg: FilterConfig, uv, obs_mask, R_c2w, t_c_w, clone_order) -> TriResult:
-    """Triangulate every feature row. Ref: Feature::triangulate_position (feature.hpp:583).
+def triangulate(cfg: FilterConfig, ct: CompactTracks, R_c2w, t_c_w) -> TriResult:
+    """Triangulate every feature row. Ref: Feature::triangulate_position (feature.hpp:583)."""
+    F, T, _ = ct.uv.shape
+    dtype = ct.uv.dtype
+    Rg, tg = _gathered_cams(ct, R_c2w, t_c_w)
+    a = _anchor_index(ct)
+    R_a = jnp.take_along_axis(Rg, a[:, None, None, None], axis=1)[:, 0]  # (F, 3, 3)
+    t_a = jnp.take_along_axis(tg, a[:, None, None], axis=1)[:, 0]  # (F, 3)
 
-    uv: (F, SW, 2); obs_mask: (F, SW); R_c2w/t_c_w: (SW, 3, 3)/(SW, 3) camera
-    poses per clone slot; clone_order: (SW,) for anchor selection.
-    """
-    F, SW, _ = uv.shape
-    dtype = uv.dtype
-    anchor, first = _anchor_and_first(obs_mask, clone_order)
+    # Relative poses anchor -> camera_t. Ref: pose.inverse() * T_c_w_last.
+    R_rel = jnp.einsum("ftji,fjk->ftik", Rg, R_a)  # (F, T, 3, 3)
+    t_rel = jnp.einsum("ftji,ftj->fti", Rg, t_a[:, None, :] - tg)
 
-    # Relative poses: T_ci<-anchor (rotation/translation mapping anchor-frame
-    # points into camera i). Ref: pose.inverse() * T_c_w_last (feature.hpp:592).
-    R_a = R_c2w[anchor]  # (F, 3, 3)
-    t_a = t_c_w[anchor]  # (F, 3)
-    # per (f, s): R_rel = R_c2w[s]^T @ R_a[f]; t_rel = R_c2w[s]^T @ (t_a[f] - t_c_w[s])
-    R_rel = jnp.einsum("sji,fjk->fsik", R_c2w, R_a)
-    t_rel = jnp.einsum("sji,fsj->fsi", R_c2w, t_a[:, None, :] - t_c_w[None, :, :])
-
-    # --- two-view initial guess in the anchor frame ---
-    # generateInitialGuess(T_anchor->first, z_anchor, z_first) (feature.hpp:331)
-    z_anchor = jnp.take_along_axis(uv, anchor[:, None, None], axis=1)[:, 0]
-    z_first = jnp.take_along_axis(uv, first[:, None, None], axis=1)[:, 0]
-    R_fa = jnp.take_along_axis(R_rel, first[:, None, None, None], axis=1)[:, 0]  # (F,3,3)
-    t_fa = jnp.take_along_axis(t_rel, first[:, None, None], axis=1)[:, 0]  # (F,3)
+    # --- two-view initial guess in the anchor frame (feature.hpp:331) ---
+    z_anchor = jnp.take_along_axis(ct.uv, a[:, None, None], axis=1)[:, 0]
+    z_first = ct.uv[:, 0]
+    R_fa = R_rel[:, 0]
+    t_fa = t_rel[:, 0]
     m = jnp.einsum("fij,fj->fi", R_fa, jnp.concatenate([z_anchor, jnp.ones_like(z_anchor[:, :1])], 1))
     A0 = m[:, 0] - z_first[:, 0] * m[:, 2]
     A1 = m[:, 1] - z_first[:, 1] * m[:, 2]
@@ -93,18 +85,17 @@ def triangulate(cfg: FilterConfig, uv, obs_mask, R_c2w, t_c_w, clone_order) -> T
     denom = A0 * A0 + A1 * A1
     depth = jnp.where(denom > 1e-12, (A0 * b0 + A1 * b1) / jnp.maximum(denom, 1e-12), 1.0)
     depth = jnp.clip(depth, 0.1, 1e3)
-    x0 = jnp.stack([z_anchor[:, 0], z_anchor[:, 1], 1.0 / depth], axis=1)  # (alpha,beta,rho)
+    x0 = jnp.stack([z_anchor[:, 0], z_anchor[:, 1], 1.0 / depth], axis=1)
 
     # --- damped Gauss-Newton with accept/reject (LM) ---
-    W = jnp.concatenate([R_rel[..., :2], t_rel[..., None]], axis=-1)  # (F, SW, 3, 3)
+    W = jnp.concatenate([R_rel[..., :2], t_rel[..., None]], axis=-1)  # (F, T, 3, 3)
 
     def residuals(x):
-        # h = R_rel @ [alpha, beta, 1] + rho * t_rel
         ab1 = jnp.concatenate([x[:, :2], jnp.ones_like(x[:, :1])], axis=1)
-        h = jnp.einsum("fsij,fj->fsi", R_rel, ab1) + x[:, 2:3, None] * t_rel  # (F, SW, 3)
+        h = jnp.einsum("ftij,fj->fti", R_rel, ab1) + x[:, 2:3, None] * t_rel
         z_hat = h[..., :2] / h[..., 2:3]
-        r = z_hat - uv  # (F, SW, 2)
-        return h, jnp.where(obs_mask[..., None], r, 0.0)
+        r = z_hat - ct.uv
+        return h, jnp.where(ct.mask[..., None], r, 0.0)
 
     def cost_of(x):
         _, r = residuals(x)
@@ -115,16 +106,14 @@ def triangulate(cfg: FilterConfig, uv, obs_mask, R_c2w, t_c_w, clone_order) -> T
     def lm_step(carry, _):
         x, lam, cost = carry
         h, r = residuals(x)
-        # J rows (feature.hpp:293): d z_hat / d (alpha,beta,rho)
         h3 = h[..., 2:3]
         J = W[..., :2, :] / h3[..., None] - (h[..., :2, None] * W[..., 2:3, :]) / (h3[..., None] ** 2)
-        J = jnp.where(obs_mask[..., None, None], J, 0.0)
-        # huber weights per observation
+        J = jnp.where(ct.mask[..., None, None], J, 0.0)
         e = jnp.linalg.norm(r, axis=-1)
         w2 = jnp.where(e <= huber, 1.0, 2.0 * huber / jnp.maximum(e, 1e-12))
         Jw = J * w2[..., None, None]
-        A = jnp.einsum("fsik,fsil->fkl", Jw, J)  # (F, 3, 3)
-        b = jnp.einsum("fsik,fsi->fk", Jw, r)  # (F, 3)
+        A = jnp.einsum("ftik,ftil->fkl", Jw, J)
+        b = jnp.einsum("ftik,fti->fk", Jw, r)
         damper = lam[:, None, None] * jnp.eye(3, dtype=x.dtype)
         delta = jnp.linalg.solve(A + damper, b[..., None])[..., 0]
         x_new = x - delta
@@ -136,17 +125,17 @@ def triangulate(cfg: FilterConfig, uv, obs_mask, R_c2w, t_c_w, clone_order) -> T
         return (x, lam, cost), None
 
     lam0 = jnp.full((F,), cfg.tri_initial_damping, dtype)
-    n_iters = cfg.tri_max_iters * 2
-    (x, lam, cost), _ = jax.lax.scan(lm_step, (x0, lam0, cost_of(x0)), None, length=n_iters)
+    (x, lam, cost), _ = jax.lax.scan(
+        lm_step, (x0, lam0, cost_of(x0)), None, length=cfg.tri_max_iters * 2
+    )
 
     # --- validity checks (feature.hpp:688-720) ---
     rho_safe = jnp.where(jnp.abs(x[:, 2]) > 1e-8, x[:, 2], 1e-8)
     p_anchor = jnp.stack([x[:, 0] / rho_safe, x[:, 1] / rho_safe, 1.0 / rho_safe], axis=1)
-    # depth in every observing camera > 0
     h, _ = residuals(x)
-    depth_all = jnp.where(obs_mask, h[..., 2] / rho_safe[:, None], 1.0)
+    depth_all = jnp.where(ct.mask, h[..., 2] / rho_safe[:, None], 1.0)
     pos_depth = jnp.all(depth_all > 0, axis=1) & (x[:, 2] > 0)
-    n_obs = jnp.sum(obs_mask, axis=1)
+    n_obs = ct.n_obs
     normalized_cost = cost / jnp.maximum(2.0 * n_obs * n_obs, 1.0)
     cost_ok = normalized_cost < 4.7673e-4  # cost_threshold (feature.hpp:58)
     p0 = jnp.stack([x0[:, 0] / x0[:, 2], x0[:, 1] / x0[:, 2], 1.0 / x0[:, 2]], axis=1)
@@ -154,4 +143,5 @@ def triangulate(cfg: FilterConfig, uv, obs_mask, R_c2w, t_c_w, clone_order) -> T
     valid = pos_depth & cost_ok & dist_ok & (n_obs >= 2)
 
     p_world = jnp.einsum("fij,fj->fi", R_a, p_anchor) + t_a
-    return TriResult(p_anchor=p_anchor, p_world=p_world, anchor_slot=anchor, valid=valid, inv_param=x)
+    anchor_slot = jnp.take_along_axis(ct.slot, a[:, None], axis=1)[:, 0]
+    return TriResult(p_anchor=p_anchor, p_world=p_world, anchor_slot=anchor_slot, valid=valid, inv_param=x)

@@ -189,17 +189,23 @@ def get_cam_wrt_imu_se3_jacobian(R_b2c, t_c_b, R_w2c, t_b_w, use_left_perturbati
     tests/test_math.py::TestSE3::test_cam_wrt_imu_jacobian.
     """
     R_b2c = jnp.asarray(R_b2c)
-    batch = jnp.broadcast_shapes(R_b2c.shape[:-2], jnp.shape(t_c_b)[:-1] if jnp.ndim(t_c_b) > 1 else ())
-    out = jnp.zeros(batch + (6, 6), dtype=R_b2c.dtype)
+    t_c_b = jnp.asarray(t_c_b)
+    R_w2c = jnp.asarray(R_w2c)
+    t_b_w = jnp.asarray(t_b_w)
+    batch = jnp.broadcast_shapes(
+        R_b2c.shape[:-2], t_c_b.shape[:-1], R_w2c.shape[:-2], t_b_w.shape[:-1]
+    )
+    dtype = R_w2c.dtype
+    out = jnp.zeros(batch + (6, 6), dtype=dtype)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), batch + (3, 3))
     if use_left_perturbation:
-        eye = jnp.broadcast_to(jnp.eye(3, dtype=R_b2c.dtype), batch + (3, 3))
-        out = out.at[..., :3, :3].set(so3.hat(t_b_w))
+        out = out.at[..., :3, :3].set(jnp.broadcast_to(so3.hat(t_b_w), batch + (3, 3)))
         out = out.at[..., 3:, :3].set(eye)
         out = out.at[..., :3, 3:].set(eye)
     else:
-        out = out.at[..., :3, :3].set(-R_b2c @ so3.hat(t_c_b))
+        out = out.at[..., :3, :3].set(jnp.broadcast_to(-R_b2c @ so3.hat(t_c_b), batch + (3, 3)))
         out = out.at[..., 3:, :3].set(jnp.broadcast_to(R_b2c, batch + (3, 3)))
-        out = out.at[..., :3, 3:].set(R_w2c)
+        out = out.at[..., :3, 3:].set(jnp.broadcast_to(R_w2c, batch + (3, 3)))
     return out
 
 

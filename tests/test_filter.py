@@ -149,6 +149,19 @@ class TestFeatureTable:
         assert int(jnp.sum(t.fid >= 0)) == 2  # third dropped, no corruption
 
 
+def make_ct(uv, mask, sw):
+    """Build CompactTracks from dense (F, SW, 2) arrays for tests."""
+    from orcvio_tpu.filter.state import FeatureTable
+    from orcvio_tpu.filter.tracks import compact_tracks
+
+    F = uv.shape[0]
+    table = FeatureTable(
+        uv=uv, uv_vel=jnp.zeros_like(uv), uv_valid=mask,
+        fid=jnp.arange(F, dtype=jnp.int32), active=jnp.ones(F, bool),
+    )
+    return compact_tracks(table, jnp.arange(sw, dtype=jnp.int32), sw)
+
+
 class TestTriangulation:
     def test_known_geometry(self):
         cfg = small_cfg()
@@ -156,11 +169,10 @@ class TestTriangulation:
         # cameras along x axis looking at +z
         R_c2w = jnp.tile(jnp.eye(3), (sw, 1, 1))
         t_c_w = jnp.stack([jnp.linspace(0, 1.0, sw), jnp.zeros(sw), jnp.zeros(sw)], axis=1)
-        order = jnp.arange(sw, dtype=jnp.int32)
         pts = jnp.asarray([[0.5, 0.3, 5.0], [-0.4, 0.2, 3.0]])
         uv = (pts[:, None, :2] - jnp.stack([t_c_w[:, 0], t_c_w[:, 1]], 1)[None]) / pts[:, None, 2:3]
         mask = jnp.ones((2, sw), bool)
-        tri = triangulate(cfg, uv, mask, R_c2w, t_c_w, order)
+        tri = triangulate(cfg, make_ct(uv, mask, sw), R_c2w, t_c_w)
         assert bool(tri.valid[0]) and bool(tri.valid[1])
         assert np.allclose(np.asarray(tri.p_world), np.asarray(pts), atol=1e-5)
 
@@ -169,12 +181,11 @@ class TestTriangulation:
         sw = cfg.sw_size
         R_c2w = jnp.tile(jnp.eye(3), (sw, 1, 1))
         t_c_w = jnp.stack([jnp.linspace(0, 1.0, sw), jnp.zeros(sw), jnp.zeros(sw)], axis=1)
-        order = jnp.arange(sw, dtype=jnp.int32)
         pts = jnp.asarray([[0.5, 0.3, 5.0]])
         uv = (pts[:, None, :2] - jnp.stack([t_c_w[:, 0], t_c_w[:, 1]], 1)[None]) / pts[:, None, 2:3]
         uv = uv + jnp.asarray(RNG.normal(size=uv.shape)) * 1e-3
         mask = jnp.ones((1, sw), bool).at[0, 2].set(False)
-        tri = triangulate(cfg, uv, mask, R_c2w, t_c_w, order)
+        tri = triangulate(cfg, make_ct(uv, mask, sw), R_c2w, t_c_w)
         assert bool(tri.valid[0])
         assert np.allclose(np.asarray(tri.p_world[0]), np.asarray(pts[0]), atol=0.05)
 
@@ -183,10 +194,9 @@ class TestTriangulation:
         sw = cfg.sw_size
         R_c2w = jnp.tile(jnp.eye(3), (sw, 1, 1))
         t_c_w = jnp.zeros((sw, 3))  # no baseline
-        order = jnp.arange(sw, dtype=jnp.int32)
         uv = jnp.tile(jnp.asarray([[0.1, 0.2]]), (1, sw, 1))
         mask = jnp.ones((1, sw), bool)
-        tri = triangulate(cfg, uv, mask, R_c2w, t_c_w, order)
+        tri = triangulate(cfg, make_ct(uv, mask, sw), R_c2w, t_c_w)
         # degenerate: either flagged invalid or absurd depth — must not be NaN
         assert bool(jnp.all(jnp.isfinite(tri.p_world)))
 
