@@ -55,6 +55,9 @@ class FilterConfig:
     huber_epsilon: float = 0.01  # triangulation LM huber (feature.hpp OptimizationConfig)
     zupt_max_feature_dis: float = 2e-3
     position_std_threshold: float = 8.0
+    static_image_num: int = 20  # Static_Num (StaticInitializer.cpp)
+    static_min_matches: int = 20  # min matched features per static frame (:41)
+    static_outlier_ignore: int = 19  # top-k distances ignored as outliers (:46)
 
     # triangulation LM (feature.hpp:41-60 OptimizationConfig)
     tri_translation_threshold: float = 0.2

@@ -35,10 +35,22 @@ class SimConfig:
     gyro_noise: float = 0.004
     acc_noise: float = 0.08
     seed: int = 0
+    static_time: float = 0.0  # initial stationary period (for init testing)
+    ramp_time: float = 1.0  # C2 smooth ramp-in duration after static_time
+
+
+def _warp_time(sim: SimConfig, t):
+    """C2 time warp: 0 until static_time, smoothly ramps to t - static_time."""
+    if sim.static_time <= 0:
+        return t
+    u = jnp.clip((t - sim.static_time) / sim.ramp_time, 0.0, 1.0)
+    w = u * u * u * (10.0 - 15.0 * u + 6.0 * u * u)  # smoothstep (C2)
+    return (t - sim.static_time) * w
 
 
 def trajectory_pose(sim: SimConfig, t):
     """Analytic (R(t), p(t)): a circle with yaw tracking + roll/pitch wobble."""
+    t = _warp_time(sim, t)
     w = sim.omega
     p = jnp.stack(
         [

@@ -120,7 +120,7 @@ def filter_step(cfg: FilterConfig, state: FilterState, frame: FrameInput, chi2_t
         R=state.imu.R,
         p=state.imu.p,
         v=state.imu.v,
-        n_update_features=jnp.sum(use),
+        n_update_features=jnp.sum(use).astype(jnp.int32),
         dx_norm=jnp.linalg.norm(dx),
     )
     return state, out
