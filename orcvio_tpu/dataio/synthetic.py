@@ -36,6 +36,7 @@ class SimConfig:
     acc_noise: float = 0.08
     seed: int = 0
     static_time: float = 0.0  # initial stationary period (for init testing)
+    height: float = 0.0  # trajectory altitude offset (for ground-plane rendering)
     ramp_time: float = 1.0  # C2 smooth ramp-in duration after static_time
 
 
@@ -56,7 +57,7 @@ def trajectory_pose(sim: SimConfig, t):
         [
             sim.radius * jnp.sin(w * t),
             sim.radius * (1.0 - jnp.cos(w * t)),
-            0.4 * jnp.sin(0.7 * w * t),
+            sim.height + 0.4 * jnp.sin(0.7 * w * t),
         ]
     )
     yaw = w * t
@@ -181,3 +182,43 @@ def generate(sim: SimConfig, R_b2c=None, t_c_b=None) -> SimData:
         meas_mask=jnp.asarray(meas_mask),
     )
     return SimData(frames=frames, gt_R=jnp.asarray(gt_R), gt_p=jnp.asarray(gt_p), gt_v=jnp.asarray(gt_v), landmarks=lm)
+
+
+# ---------------------------------------------------------------------------
+# Image rendering: textured ground plane (for front-end + full-stack tests)
+# ---------------------------------------------------------------------------
+
+def smooth_texture(H, W, seed=0, octaves=5, lo=40.0, hi=220.0):
+    """Band-limited random texture with structure at several scales."""
+    rng = np.random.default_rng(seed)
+    img = np.zeros((H, W))
+    for o in range(octaves):
+        h, w = max(H >> (octaves - o), 2), max(W >> (octaves - o), 2)
+        layer = rng.normal(size=(h, w))
+        img += np.asarray(jax.image.resize(jnp.asarray(layer), (H, W), method="linear")) * (2.0**o)
+    img = (img - img.min()) / (img.max() - img.min())
+    return jnp.asarray(lo + img * (hi - lo), jnp.float32)
+
+
+def render_plane_view(texture, tex_scale, R_c2w, t_c_w, K, height, width):
+    """Render the camera view of a textured z=0 ground plane.
+
+    texture: (Ht, Wt); tex_scale: meters per texel; K = (fx, fy, cx, cy).
+    Pixels whose ray misses the plane (d_z >= 0) render as 0.
+    """
+    from ..frontend.image import bilinear_sample
+
+    fx, fy, cx, cy = K
+    vv, uu = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.float32), jnp.arange(width, dtype=jnp.float32), indexing="ij"
+    )
+    rays_c = jnp.stack([(uu - cx) / fx, (vv - cy) / fy, jnp.ones_like(uu)], axis=-1)
+    d = jnp.einsum("ij,hwj->hwi", R_c2w, rays_c)
+    lam = -t_c_w[2] / jnp.where(d[..., 2] < -1e-6, d[..., 2], -1e-6)
+    Pxy = t_c_w[None, None, :2] + lam[..., None] * d[..., :2]
+    tex_xy = Pxy / tex_scale + jnp.asarray(
+        [texture.shape[1] / 2.0, texture.shape[0] / 2.0], jnp.float32
+    )
+    vals = bilinear_sample(texture, tex_xy.reshape(-1, 2)).reshape(height, width)
+    visible = (d[..., 2] < -1e-3) & (lam > 0.1)
+    return jnp.where(visible, vals, 0.0)

@@ -1,0 +1,153 @@
+"""VIO runner: images + IMU -> tracker -> filter -> trajectory.
+
+Equivalent of the reference's non-ROS application (``app/orcvioMain.cpp``):
+the host loop feeds images to the jitted tracker step and its outputs to the
+jitted filter/init step, writes a TUM trajectory, and (with groundtruth)
+reports ATE. Usable as a CLI:
+
+    python -m orcvio_tpu.run_vio --euroc /path/to/MH_01 --config config.yaml --out traj.txt
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config.core import FilterConfig
+from .filter.pipeline import FrameInput, build_chi2_table
+from .frontend.tracker import TrackerConfig, TrackerState, process_frame
+from .vio import VioState, vio_step
+
+
+def run_image_sequence(
+    cfg: FilterConfig,
+    tc: TrackerConfig,
+    get_image: Callable[[int], np.ndarray],
+    frame_ts: np.ndarray,
+    imu_t: np.ndarray,
+    imu_gyro: np.ndarray,
+    imu_acc: np.ndarray,
+    imu_mask: np.ndarray,
+    R_b2c,
+    t_c_b,
+    init_filter_state=None,
+    dtype=jnp.float32,
+    progress_every: int = 0,
+):
+    """Host loop over frames. Returns dict with trajectory + timing stats.
+
+    get_image(k) -> (H, W) float32 array. IMU arrays are pre-binned slabs
+    (K, S, ...). If init_filter_state is given, static init is skipped.
+    """
+    K = len(frame_ts)
+    R_b2c = jnp.asarray(R_b2c, dtype)
+    t_c_b = jnp.asarray(t_c_b, dtype)
+
+    ts = TrackerState.create(tc, dtype)
+    vs = VioState.create(cfg, tc.capacity, dtype)
+    vs = vs.replace(filter=vs.filter.replace(R_b2c=R_b2c, t_c_b=t_c_b))
+    if init_filter_state is not None:
+        vs = vs.replace(filter=init_filter_state.replace(R_b2c=R_b2c, t_c_b=t_c_b))
+    chi2 = build_chi2_table(cfg, dtype)
+
+    track_j = jax.jit(lambda s, img, t, g: process_frame(tc, s, img, t, g, R_b2c))
+    vio_j = jax.jit(lambda s, fr: vio_step(cfg, s, fr, chi2))
+
+    out_t, out_p, out_R = [], [], []
+    n_upd = []
+    t0 = time.perf_counter()
+    for k in range(K):
+        img = jnp.asarray(get_image(k), dtype)
+        mask_k = imu_mask[k]
+        g_mean = jnp.asarray(
+            imu_gyro[k][mask_k].mean(axis=0) if mask_k.any() else np.zeros(3), dtype
+        )
+        ts, tout = track_j(ts, img, jnp.asarray(frame_ts[k], dtype), g_mean)
+        frame = FrameInput(
+            t=jnp.asarray(frame_ts[k], dtype),
+            imu_t=jnp.asarray(imu_t[k], dtype),
+            imu_gyro=jnp.asarray(imu_gyro[k], dtype),
+            imu_acc=jnp.asarray(imu_acc[k], dtype),
+            imu_mask=jnp.asarray(imu_mask[k]),
+            fids=tout.fids,
+            uvs=tout.uvs,
+            uv_vels=tout.uv_vels,
+            meas_mask=tout.meas_mask,
+        )
+        vs, fout = vio_j(vs, frame)
+        out_t.append(float(frame_ts[k]))
+        out_p.append(np.asarray(fout.p))
+        out_R.append(np.asarray(fout.R))
+        n_upd.append(int(fout.n_update_features))
+        if progress_every and (k + 1) % progress_every == 0:
+            print(f"frame {k + 1}/{K} p={np.round(out_p[-1], 2)} upd={n_upd[-1]}")
+    jax.block_until_ready(vs.filter.P)
+    wall = time.perf_counter() - t0
+
+    return {
+        "t": np.asarray(out_t),
+        "p": np.stack(out_p),
+        "R": np.stack(out_R),
+        "n_updates": np.asarray(n_upd),
+        "fps": K / wall,
+        "final_state": vs,
+    }
+
+
+def main(argv=None):
+    import argparse
+
+    from .config.yaml_io import load_reference_yaml
+    from .dataio.euroc import bin_imu_per_frame, load_euroc, write_tum
+    from .eval.trajectory import ate
+    from .math import quat
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--euroc", required=True, help="EuRoC sequence dir (contains mav0/)")
+    ap.add_argument("--config", default="/root/reference/config/euroc.yaml")
+    ap.add_argument("--out", default="traj_estimate.txt")
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--imu-slab", type=int, default=16)
+    args = ap.parse_args(argv)
+
+    cfg, cam, fe = load_reference_yaml(args.config)
+    cfg = FilterConfig(**{**cfg.__dict__, "imu_slab": args.imu_slab})
+    seq = load_euroc(args.euroc)
+    imu_t, gyro, acc, mask = bin_imu_per_frame(seq, args.imu_slab, cfg.td)
+    K = len(seq.cam_t) if not args.max_frames else min(args.max_frames, len(seq.cam_t))
+
+    import cv2
+
+    def get_image(k):
+        img = cv2.imread(seq.image_paths[k], cv2.IMREAD_GRAYSCALE)
+        return img.astype(np.float32)
+
+    tc = TrackerConfig(
+        height=cam.height, width=cam.width,
+        pyramid_levels=fe.pyramid_levels + 1,
+        capacity=fe.max_features_num,
+        min_distance=float(fe.min_distance),
+        equalize=fe.flag_equalize,
+        K=(cam.fx, cam.fy, cam.cx, cam.cy),
+        dist_model=cam.distortion_model,
+        dist_coeffs=tuple(cam.dist_coeffs),
+    )
+    res = run_image_sequence(
+        cfg, tc, get_image, seq.cam_t[:K],
+        imu_t[:K], gyro[:K], acc[:K], mask[:K],
+        np.asarray(cam.R_b2c), np.asarray(cam.t_c_b),
+        progress_every=100,
+    )
+    q = np.stack([np.asarray(quat.from_rotation(jnp.asarray(R))) for R in res["R"]])
+    write_tum(args.out, res["t"], res["p"], q)
+    print(f"fps={res['fps']:.1f}, wrote {args.out}")
+    if seq.gt_t is not None:
+        m = ate(res["t"], res["p"], q, seq.gt_t, seq.gt_p, seq.gt_q, alignment="posyaw")
+        print(f"ATE posyaw: {m['rmse_trans']:.3f} m, {m['rmse_rot_deg']:.2f} deg ({m['n_matched']} matched)")
+
+
+if __name__ == "__main__":
+    main()
