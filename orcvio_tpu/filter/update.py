@@ -137,29 +137,35 @@ def gate_features(cfg: FilterConfig, state: FilterState, fj: FeatureJacobians, c
     return gamma < thresh
 
 
-def msckf_update(cfg: FilterConfig, state: FilterState, fj: FeatureJacobians, use_mask):
-    """Stacked EKF update. Ref: measurementUpdate_msckf (orcvio.cpp:1654).
+def apply_ekf_update(cfg: FilterConfig, state: FilterState, H, r):
+    """Generic stacked EKF update: QR-compress + Kalman gain + covariance.
 
-    use_mask: (F,) features included. Zero-masked rows ride through QR
-    compression and the S-solve untouched (verified in tests).
+    Ref: measurementUpdate_msckf (orcvio.cpp:1654): dense QR stands in for
+    SPQR (:1664-1683); K^T = S^{-1} H P via Cholesky (LDLT there); Joseph-free
+    (I-KH)P with re-symmetrization, exactly as the reference.
     """
-    F, M, D = fj.H.shape
+    D = state.P.shape[0]
     sigma2 = cfg.observation_noise**2
-    Hm = jnp.where(use_mask[:, None, None], fj.H, 0.0).reshape(F * M, D)
-    rm = jnp.where(use_mask[:, None], fj.r, 0.0).reshape(F * M)
-
-    # QR-compress to at most D rows (SPQR equivalent, orcvio.cpp:1664-1683)
-    H_thin, r_thin = linalg.qr_compress(Hm, rm)
-
+    H_thin, r_thin = linalg.qr_compress(H, r)
     S = H_thin @ state.P @ H_thin.T + sigma2 * jnp.eye(H_thin.shape[0], dtype=state.P.dtype)
-    # K^T = S^{-1} H P  (LDLT in the reference; Cholesky here)
     chol = jax.scipy.linalg.cho_factor(S, lower=True)
     K_T = jax.scipy.linalg.cho_solve(chol, H_thin @ state.P)
     K = K_T.T
     dx = K @ r_thin
-
     state = increment_state(cfg, state, dx)
     I_KH = jnp.eye(D, dtype=state.P.dtype) - K @ H_thin
     P = I_KH @ state.P
     P = 0.5 * (P + P.T)
     return state.replace(P=P), dx
+
+
+def msckf_update(cfg: FilterConfig, state: FilterState, fj: FeatureJacobians, use_mask):
+    """Stacked point-feature EKF update. Ref: measurementUpdate_msckf (orcvio.cpp:1654).
+
+    use_mask: (F,) features included. Zero-masked rows ride through QR
+    compression and the S-solve untouched (verified in tests).
+    """
+    F, M, D = fj.H.shape
+    Hm = jnp.where(use_mask[:, None, None], fj.H, 0.0).reshape(F * M, D)
+    rm = jnp.where(use_mask[:, None], fj.r, 0.0).reshape(F * M)
+    return apply_ekf_update(cfg, state, Hm, rm)

@@ -1,0 +1,130 @@
+"""Object-residual EKF update of the sliding-window camera states.
+
+TPU-native equivalent of ``OrcVIO::constructObjectResidualJacobians``
+(orcvio.cpp:2017 — map per-frame object residual Jacobians wrt camera pose
+into window-state columns through d(campose)/d(imupose)) and
+``OrcVIO::removeLostObjects`` (:2154 — nullspace-project the object-state
+block out, chi-square gate, then the standard MSCKF update).
+
+Static-shape realization: the reference's row-compaction over "timestamps
+found in the window" becomes row masking; unmatched frames contribute exact
+zero rows, which are neutral through the nullspace QR, the gate, and the
+update (the same invariant the point-feature path relies on).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config.core import FilterConfig
+from ..filter.state import LEG, FilterState
+from ..filter.update import apply_ekf_update
+from ..math import linalg, se3
+from .lm import EkfExport
+
+
+def match_timestamps(obj_t, clone_t, clone_valid, tol=1e-6):
+    """For each object frame time, the matching clone slot (or -1).
+
+    Ref: std::find over cur_window_timestamps (orcvio.cpp:2074).
+    """
+    d = jnp.abs(obj_t[:, None] - clone_t[None, :])
+    d = jnp.where(clone_valid[None, :], d, jnp.inf)
+    slot = jnp.argmin(d, axis=1)
+    ok = jnp.min(d, axis=1) < tol
+    return jnp.where(ok, slot, -1), ok
+
+
+def build_object_H(cfg: FilterConfig, state: FilterState, exp: EkfExport, wTc_obj, obj_t):
+    """Assemble (H_x, H_f, r) for one object. Ref: constructObjectResidualJacobians.
+
+    wTc_obj: (T, 4, 4) the camera poses the object LM linearized at (the
+    reference ships them as se3 logs in valid_camera_pose_mat); obj_t: (T,).
+    Returns H_x (M, D), H_f (M, dof_obj), r (M,), row_mask (M,) with
+    M = T * (2K + 4).
+    """
+    T, K, _ = exp.r_feat.shape
+    D = state.P.shape[0]
+    dof_obj = exp.J_obj_feat.shape[-1]
+    slot, matched = match_timestamps(obj_t, state.clones.t, state.clones.valid)
+
+    # d(campose)/d(imupose) per frame from the object's linearization poses
+    # (orcvio.cpp:2078-2092)
+    R_b2c = state.R_b2c
+    t_c_b = state.t_c_b
+    R_w2c = jnp.swapaxes(wTc_obj[:, :3, :3], -1, -2)
+    t_b_w = jnp.einsum("tij,j->ti", wTc_obj[:, :3, :3], -R_b2c @ t_c_b) + wTc_obj[:, :3, 3]
+    dcam = se3.get_cam_wrt_imu_se3_jacobian(
+        R_b2c, t_c_b, R_w2c, t_b_w, cfg.use_left_perturbation
+    )  # (T, 6, 6)
+
+    # rows per frame: 2K feature rows then 4 bbox rows (orcvio.cpp:2098-2126)
+    Jx_feat = jnp.einsum("tkri,tij->tkrj", exp.J_cam_feat, dcam)  # (T, K, 2, 6)
+    Jx_bbox = jnp.einsum("tri,tij->trj", exp.J_cam_bbox, dcam)  # (T, 4, 6)
+
+    feat_rows = Jx_feat.reshape(T, 2 * K, 6)
+    Hx_frame = jnp.concatenate([feat_rows, Jx_bbox], axis=1)  # (T, 2K+4, 6)
+    Hf_frame = jnp.concatenate(
+        [exp.J_obj_feat.reshape(T, 2 * K, dof_obj), exp.J_obj_bbox], axis=1
+    )
+    r_frame = jnp.concatenate([exp.r_feat.reshape(T, 2 * K), exp.r_bbox], axis=1)
+
+    row_mask_frame = jnp.concatenate(
+        [
+            jnp.repeat(exp.zs_mask, 2, axis=1),  # (T, 2K)
+            jnp.broadcast_to(exp.zb_mask[:, None], (T, 4)),
+        ],
+        axis=1,
+    ) & matched[:, None]
+
+    # scatter the per-frame 6-col blocks into window columns
+    M_rows = T * (2 * K + 4)
+    Hx = jnp.zeros((T, 2 * K + 4, D), Hx_frame.dtype)
+    cols = LEG + 6 * jnp.clip(slot, 0, state.clones.valid.shape[0] - 1)
+    col_idx = cols[:, None, None] + jnp.arange(6)[None, None, :]  # (T, 1, 6)
+    t_i = jnp.arange(T)[:, None, None]
+    r_i = jnp.arange(2 * K + 4)[None, :, None]
+    Hx = Hx.at[t_i, r_i, col_idx].set(Hx_frame)
+
+    m = row_mask_frame[..., None]
+    Hx = jnp.where(m, Hx, 0.0).reshape(M_rows, D)
+    Hf = jnp.where(m, Hf_frame, 0.0).reshape(M_rows, dof_obj)
+    # NOTE — deliberate deviation: the object LM exports r = prediction - z
+    # (ObjectLM residual convention) while H = J_cam dcam is the derivative of
+    # the prediction; the Kalman path (dx = K r, K from H) requires
+    # r ~ +H dx, i.e. r = z - prediction. The reference feeds ŷ - z with +H
+    # (orcvio.cpp:2098-2126 -> measurementUpdate_msckf), which the
+    # linearization probe in tests/test_objects_update.py shows is
+    # sign-inconsistent; we negate the residual here.
+    r = -jnp.where(row_mask_frame, r_frame, 0.0).reshape(M_rows)
+    return Hx, Hf, r, row_mask_frame.reshape(M_rows), jnp.any(matched)
+
+
+def object_ekf_update(cfg: FilterConfig, state: FilterState, exp: EkfExport, wTc_obj, obj_t, chi2_table):
+    """Full object update: build H -> nullspace -> gate -> update.
+
+    Ref: removeLostObjects (orcvio.cpp:2154). Returns (state, used: bool).
+    """
+    Hx, Hf, r, row_mask, any_match = build_object_H(cfg, state, exp, wTc_obj, obj_t)
+    n_rows = jnp.sum(row_mask)
+    dof_obj = Hf.shape[1]
+    enough = n_rows > dof_obj  # nullspace needs rows > cols
+
+    Hx_p, r_p = linalg.nullspace_project(Hf, Hx, r)
+
+    # gate: dof = rows after the trick (orcvio.cpp:2172)
+    sigma2 = cfg.observation_noise**2
+    S = Hx_p @ state.P @ Hx_p.T + sigma2 * jnp.eye(Hx_p.shape[0], dtype=state.P.dtype)
+    sol = jnp.linalg.solve(S, r_p)
+    gamma = jnp.dot(r_p, sol)
+    dof = jnp.clip(n_rows - dof_obj, 1, chi2_table.shape[0] - 1)
+    gate_ok = gamma < chi2_table[dof]
+
+    finite = jnp.all(jnp.isfinite(Hx_p)) & jnp.all(jnp.isfinite(r_p))
+    use = any_match & enough & gate_ok & finite
+
+    new_state, dx = apply_ekf_update(cfg, state, Hx_p, r_p)
+    state = jax.tree.map(lambda a, b: jnp.where(use, a, b), new_state, state)
+    return state, use
