@@ -1,0 +1,57 @@
+"""Ingest the reference's object shape-prior configs (object_feat_*.yaml).
+
+Same schema as ``config/object_feat_{all,unity,kitti,erl,mesa}.yaml``:
+per-class keypoints_num, object_keypoints_mean (stored as a flat 3*K list in
+coordinate-major order: all x, all y, all z), object_mean_shape (ellipsoid
+semi-axes), aliases, marker_color. Loaded in the ROS wrapper at
+ObjectInitNode startup; here it feeds ManagerConfig / finalize_object.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import numpy as np
+import yaml
+
+
+@dataclasses.dataclass(frozen=True)
+class ObjectClassConfig:
+    name: str
+    keypoints_num: int
+    keypoints_mean: Tuple[Tuple[float, ...], ...]  # (K, 3)
+    mean_shape: Tuple[float, float, float]
+    aliases: Tuple[str, ...] = ()
+    marker_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+    @property
+    def keypoints_mean_np(self) -> np.ndarray:
+        return np.asarray(self.keypoints_mean)
+
+    @property
+    def mean_shape_np(self) -> np.ndarray:
+        return np.asarray(self.mean_shape)
+
+
+def load_object_config(path: str) -> Dict[str, ObjectClassConfig]:
+    """Parse object_feat_*.yaml -> {class name (incl. aliases): config}."""
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    out: Dict[str, ObjectClassConfig] = {}
+    for name, spec in raw["object_classes"].items():
+        k = int(spec["keypoints_num"])
+        flat = np.asarray(spec["object_keypoints_mean"], dtype=np.float64)
+        # coordinate-major flat list: (3, K) -> (K, 3)
+        kps = flat.reshape(3, k).T
+        cfg = ObjectClassConfig(
+            name=name,
+            keypoints_num=k,
+            keypoints_mean=tuple(map(tuple, kps)),
+            mean_shape=tuple(np.asarray(spec["object_mean_shape"], dtype=np.float64)),
+            aliases=tuple(spec.get("aliases") or ()),
+            marker_color=tuple(spec.get("marker_color", (0.0, 0.0, 0.0))),
+        )
+        out[name] = cfg
+        for a in cfg.aliases:
+            out[a] = cfg
+    return out
