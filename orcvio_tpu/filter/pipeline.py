@@ -83,6 +83,19 @@ def filter_step(cfg: FilterConfig, state: FilterState, frame: FrameInput, chi2_t
     state = state.replace(features=table)
     tracking_rate = tracked / jnp.maximum(prev_live, 1)
 
+    # 3b. zero-velocity update (orcvio.cpp:580-590: checkZUPTFeat ->
+    #     checkZUPTIMU fallback -> measurementUpdate_ZUPT_vpq)
+    if cfg.if_zupt:
+        from .zupt import check_zupt_feat, check_zupt_imu, zupt_update
+
+        do_feat = check_zupt_feat(cfg, state)
+        do_imu = check_zupt_imu(
+            cfg, state, frame.imu_t, frame.imu_gyro, frame.imu_acc, frame.imu_mask, chi2_table
+        )
+        do_zupt = do_feat | do_imu
+        zupted = zupt_update(cfg, state)
+        state = jax.tree.map(lambda a, b: jnp.where(do_zupt, a, b), zupted, state)
+
     # 4. classification (removeLostFeatures, :2196)
     live = state.features.fid >= 0
     active = state.features.active
