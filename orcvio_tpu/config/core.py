@@ -18,6 +18,7 @@ class FilterConfig:
     # --- static shape capacities (compile-time) ---
     sw_size: int = 20  # sliding-window clones (config/euroc.yaml: sw_size)
     max_features: int = 200  # feature-table capacity (>= max tracked per frame)
+    max_update_features: int = 32  # max features stacked into one EKF update
     max_track_len: int = 6  # config: max_track_len
     min_track_len: int = 3  # minimum obs to use a feature (orcvio.cpp feature classification)
     imu_slab: int = 24  # max IMU samples per frame (20 Hz img / 200 Hz IMU + margin)

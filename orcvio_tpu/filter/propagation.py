@@ -212,11 +212,12 @@ def noise_input_matrix(C_old, use_left_or_larvio: bool, dtype):
 # One IMU sample (processModel) and the per-frame scan (batchImuProcessing)
 # ---------------------------------------------------------------------------
 
-def process_step(cfg: FilterConfig, state: FilterState, t_imu, gyro_m, acc_m, gyro_m_old, acc_m_old):
-    """One IMU sample: mean + covariance. Ref: processModel (orcvio.cpp:727).
+def _leg_phi_q(cfg: FilterConfig, state: FilterState, t_imu, gyro_m, acc_m, gyro_m_old, acc_m_old):
+    """One IMU sample's mean propagation + (Phi, Q) on the 22-dim leg.
 
-    All quantities at dt = 0 reduce to exact no-ops, so masked (padding)
-    samples can call this with t_imu == state.t.
+    Factored out of process_step so the per-frame scan can accumulate
+    Phi_total / Q_total at 22x22 cost and touch the full covariance once per
+    frame (mathematically identical: P <- Phi P Phi^T + Q composes).
     """
     dt = t_imu - state.t
     g_w = gravity_vec(cfg, state.P.dtype)
@@ -250,6 +251,18 @@ def process_step(cfg: FilterConfig, state: FilterState, t_imu, gyro_m, acc_m, gy
     PhiG = Phi @ G
     Q = PhiG @ Qc @ PhiG.T * dt
 
+    state = state.replace(
+        t=jnp.asarray(t_imu, state.t.dtype),
+        imu=imu_new,
+        imu_old=imu_old,
+        imu_fej_now=fej_now,
+        imu_fej_old=fej_old,
+    )
+    return state, Phi, Q
+
+
+def apply_leg_covariance(state: FilterState, Phi, Q) -> FilterState:
+    """P <- Phi P Phi^T + Q on the leg block + cross terms (orcvio.cpp:797-816)."""
     P = state.P
     P_ll = Phi @ P[:LEG, :LEG] @ Phi.T + Q
     P_lr = Phi @ P[:LEG, LEG:]
@@ -257,15 +270,17 @@ def process_step(cfg: FilterConfig, state: FilterState, t_imu, gyro_m, acc_m, gy
     P = P.at[:LEG, LEG:].set(P_lr)
     P = P.at[LEG:, :LEG].set(P_lr.T)
     P = 0.5 * (P + P.T)
+    return state.replace(P=P)
 
-    return state.replace(
-        t=jnp.asarray(t_imu, state.t.dtype),
-        imu=imu_new,
-        imu_old=imu_old,
-        imu_fej_now=fej_now,
-        imu_fej_old=fej_old,
-        P=P,
-    )
+
+def process_step(cfg: FilterConfig, state: FilterState, t_imu, gyro_m, acc_m, gyro_m_old, acc_m_old):
+    """One IMU sample: mean + covariance. Ref: processModel (orcvio.cpp:727).
+
+    All quantities at dt = 0 reduce to exact no-ops, so masked (padding)
+    samples can call this with t_imu == state.t.
+    """
+    state, Phi, Q = _leg_phi_q(cfg, state, t_imu, gyro_m, acc_m, gyro_m_old, acc_m_old)
+    return apply_leg_covariance(state, Phi, Q)
 
 
 def imu_batch(cfg: FilterConfig, state: FilterState, imu_t, imu_gyro, imu_acc, imu_mask):
@@ -277,16 +292,26 @@ def imu_batch(cfg: FilterConfig, state: FilterState, imu_t, imu_gyro, imu_acc, i
     the reference's m_gyro_old/m_acc_old carried across frames.
     """
 
+    dtype = state.P.dtype
+    eye = jnp.eye(LEG, dtype=dtype)
+
     def step(carry, inp):
-        st, g_old, a_old = carry
+        st, g_old, a_old, Phi_acc, Q_acc = carry
         t_i, g_i, a_i, m_i = inp
         t_eff = jnp.where(m_i, t_i, st.t)
         g_eff = jnp.where(m_i, g_i, g_old)
         a_eff = jnp.where(m_i, a_i, a_old)
-        st2 = process_step(cfg, st, t_eff, g_eff, a_eff, g_old, a_old)
-        return (st2, g_eff, a_eff), None
+        st2, Phi, Q = _leg_phi_q(cfg, st, t_eff, g_eff, a_eff, g_old, a_old)
+        # compose 22x22 accumulators; the full covariance is touched once per
+        # frame (P <- Phi_tot P Phi_tot^T + Q_tot, identical by induction)
+        Phi_acc = Phi @ Phi_acc
+        Q_acc = Phi @ Q_acc @ Phi.T + Q
+        return (st2, g_eff, a_eff, Phi_acc, Q_acc), None
 
-    (state2, g_last, a_last), _ = jax.lax.scan(
-        step, (state, state.last_gyro, state.last_acc), (imu_t, imu_gyro, imu_acc, imu_mask)
+    (state2, g_last, a_last, Phi_tot, Q_tot), _ = jax.lax.scan(
+        step,
+        (state, state.last_gyro, state.last_acc, eye, jnp.zeros((LEG, LEG), dtype)),
+        (imu_t, imu_gyro, imu_acc, imu_mask),
     )
+    state2 = apply_leg_covariance(state2, Phi_tot, Q_tot)
     return state2.replace(last_gyro=g_last, last_acc=a_last)

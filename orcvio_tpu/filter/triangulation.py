@@ -88,6 +88,9 @@ def triangulate(cfg: FilterConfig, ct: CompactTracks, R_c2w, t_c_w) -> TriResult
     x0 = jnp.stack([z_anchor[:, 0], z_anchor[:, 1], 1.0 / depth], axis=1)
 
     # --- damped Gauss-Newton with accept/reject (LM) ---
+    # TPU-shaped: one residual evaluation per iteration (the candidate's
+    # residual is carried and reused when the step is accepted) and a
+    # closed-form 3x3 Cramer solve instead of a batched LU custom call.
     W = jnp.concatenate([R_rel[..., :2], t_rel[..., None]], axis=-1)  # (F, T, 3, 3)
 
     def residuals(x):
@@ -97,15 +100,30 @@ def triangulate(cfg: FilterConfig, ct: CompactTracks, R_c2w, t_c_w) -> TriResult
         r = z_hat - ct.uv
         return h, jnp.where(ct.mask[..., None], r, 0.0)
 
-    def cost_of(x):
-        _, r = residuals(x)
-        return jnp.sum(r * r, axis=(1, 2))
+    def solve3(A, b):
+        """Batched 3x3 Cramer solve (pure elementwise — no LU custom call)."""
+        c00 = A[..., 1, 1] * A[..., 2, 2] - A[..., 1, 2] * A[..., 2, 1]
+        c01 = A[..., 1, 2] * A[..., 2, 0] - A[..., 1, 0] * A[..., 2, 2]
+        c02 = A[..., 1, 0] * A[..., 2, 1] - A[..., 1, 1] * A[..., 2, 0]
+        det = A[..., 0, 0] * c00 + A[..., 0, 1] * c01 + A[..., 0, 2] * c02
+        det = jnp.where(jnp.abs(det) > 1e-18, det, 1e-18)
+        adj = jnp.stack(
+            [
+                jnp.stack([c00, A[..., 0, 2] * A[..., 2, 1] - A[..., 0, 1] * A[..., 2, 2],
+                           A[..., 0, 1] * A[..., 1, 2] - A[..., 0, 2] * A[..., 1, 1]], -1),
+                jnp.stack([c01, A[..., 0, 0] * A[..., 2, 2] - A[..., 0, 2] * A[..., 2, 0],
+                           A[..., 0, 2] * A[..., 1, 0] - A[..., 0, 0] * A[..., 1, 2]], -1),
+                jnp.stack([c02, A[..., 0, 1] * A[..., 2, 0] - A[..., 0, 0] * A[..., 2, 1],
+                           A[..., 0, 0] * A[..., 1, 1] - A[..., 0, 1] * A[..., 1, 0]], -1),
+            ],
+            axis=-2,
+        )
+        return jnp.einsum("...ij,...j->...i", adj, b) / det[..., None]
 
     huber = cfg.huber_epsilon
 
     def lm_step(carry, _):
-        x, lam, cost = carry
-        h, r = residuals(x)
+        x, lam, cost, h, r = carry
         h3 = h[..., 2:3]
         J = W[..., :2, :] / h3[..., None] - (h[..., :2, None] * W[..., 2:3, :]) / (h3[..., None] ** 2)
         J = jnp.where(ct.mask[..., None, None], J, 0.0)
@@ -114,19 +132,24 @@ def triangulate(cfg: FilterConfig, ct: CompactTracks, R_c2w, t_c_w) -> TriResult
         Jw = J * w2[..., None, None]
         A = jnp.einsum("ftik,ftil->fkl", Jw, J)
         b = jnp.einsum("ftik,fti->fk", Jw, r)
-        damper = lam[:, None, None] * jnp.eye(3, dtype=x.dtype)
-        delta = jnp.linalg.solve(A + damper, b[..., None])[..., 0]
+        A = A + lam[:, None, None] * jnp.eye(3, dtype=x.dtype)
+        delta = solve3(A, b)
         x_new = x - delta
-        cost_new = cost_of(x_new)
+        h_new, r_new = residuals(x_new)
+        cost_new = jnp.sum(r_new * r_new, axis=(1, 2))
         accept = cost_new < cost
         x = jnp.where(accept[:, None], x_new, x)
         cost = jnp.where(accept, cost_new, cost)
+        h = jnp.where(accept[:, None, None], h_new, h)
+        r = jnp.where(accept[:, None, None], r_new, r)
         lam = jnp.where(accept, jnp.maximum(lam / 10, 1e-10), jnp.minimum(lam * 10, 1e12))
-        return (x, lam, cost), None
+        return (x, lam, cost, h, r), None
 
     lam0 = jnp.full((F,), cfg.tri_initial_damping, dtype)
-    (x, lam, cost), _ = jax.lax.scan(
-        lm_step, (x0, lam0, cost_of(x0)), None, length=cfg.tri_max_iters * 2
+    h0, r0 = residuals(x0)
+    cost0 = jnp.sum(r0 * r0, axis=(1, 2))
+    (x, lam, cost, _, _), _ = jax.lax.scan(
+        lm_step, (x0, lam0, cost0, h0, r0), None, length=cfg.tri_max_iters
     )
 
     # --- validity checks (feature.hpp:688-720) ---

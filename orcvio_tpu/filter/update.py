@@ -131,8 +131,10 @@ def gate_features(cfg: FilterConfig, state: FilterState, fj: FeatureJacobians, c
     sigma2 = cfg.observation_noise**2
     HP = jnp.einsum("fmd,de->fme", fj.H, state.P)
     S = jnp.einsum("fme,fne->fmn", HP, fj.H) + sigma2 * jnp.eye(fj.H.shape[1], dtype=state.P.dtype)
-    sol = jnp.linalg.solve(S, fj.r[..., None])[..., 0]
-    gamma = jnp.sum(fj.r * sol, axis=1)
+    # S is PSD + sigma^2 I: batched Cholesky beats the batched-LU custom call
+    L = jnp.linalg.cholesky(S)
+    y = jax.scipy.linalg.solve_triangular(L, fj.r[..., None], lower=True)[..., 0]
+    gamma = jnp.sum(y * y, axis=1)
     thresh = chi2_table[jnp.clip(fj.dof, 0, chi2_table.shape[0] - 1)]
     return gamma < thresh
 
@@ -162,10 +164,17 @@ def apply_ekf_update(cfg: FilterConfig, state: FilterState, H, r):
 def msckf_update(cfg: FilterConfig, state: FilterState, fj: FeatureJacobians, use_mask):
     """Stacked point-feature EKF update. Ref: measurementUpdate_msckf (orcvio.cpp:1654).
 
-    use_mask: (F,) features included. Zero-masked rows ride through QR
-    compression and the S-solve untouched (verified in tests).
+    use_mask: (F,) features included. Only a handful of features finish per
+    frame, so the stack is first compacted to the top max_update_features
+    rows by mask (gather); zero rows from the remaining padding ride through
+    QR compression and the S-solve untouched (verified in tests).
     """
     F, M, D = fj.H.shape
-    Hm = jnp.where(use_mask[:, None, None], fj.H, 0.0).reshape(F * M, D)
-    rm = jnp.where(use_mask[:, None], fj.r, 0.0).reshape(F * M)
+    K = min(cfg.max_update_features, F)
+    # strongest = just "selected", ranked by mask (1/0) with stable order
+    sel_score = use_mask.astype(fj.H.dtype)
+    _, top_idx = jax.lax.top_k(sel_score, K)
+    top_use = use_mask[top_idx]
+    Hm = jnp.where(top_use[:, None, None], fj.H[top_idx], 0.0).reshape(K * M, D)
+    rm = jnp.where(top_use[:, None], fj.r[top_idx], 0.0).reshape(K * M)
     return apply_ekf_update(cfg, state, Hm, rm)
