@@ -115,15 +115,29 @@ def main(argv=None):
 
     cfg, cam, fe = load_reference_yaml(args.config)
     cfg = FilterConfig(**{**cfg.__dict__, "imu_slab": args.imu_slab})
-    seq = load_euroc(args.euroc)
-    imu_t, gyro, acc, mask = bin_imu_per_frame(seq, args.imu_slab, cfg.td)
+
+    # prefer the native threaded loader (native/euroc_loader.cpp)
+    try:
+        from .dataio.native import NativeEurocLoader
+
+        nat = NativeEurocLoader(args.euroc)
+        seq = type("Seq", (), dict(
+            imu_t=nat.imu_t, gyro=nat.gyro, acc=nat.acc, cam_t=nat.cam_t,
+            gt_t=nat.gt_t, gt_p=nat.gt_p, gt_q=nat.gt_q,
+        ))()
+        imu_t, gyro, acc, mask = nat.bin_imu(args.imu_slab, cfg.td)
+        get_image = nat.get_image
+    except Exception as e:  # fall back to the Python reader + cv2 decode
+        print(f"native loader unavailable ({e}); using python reader")
+        seq = load_euroc(args.euroc)
+        imu_t, gyro, acc, mask = bin_imu_per_frame(seq, args.imu_slab, cfg.td)
+        import cv2
+
+        def get_image(k):
+            img = cv2.imread(seq.image_paths[k], cv2.IMREAD_GRAYSCALE)
+            return img.astype(np.float32)
+
     K = len(seq.cam_t) if not args.max_frames else min(args.max_frames, len(seq.cam_t))
-
-    import cv2
-
-    def get_image(k):
-        img = cv2.imread(seq.image_paths[k], cv2.IMREAD_GRAYSCALE)
-        return img.astype(np.float32)
 
     tc = TrackerConfig(
         height=cam.height, width=cam.width,
