@@ -1,0 +1,95 @@
+"""Feature-parallel measurement update: shard Jacobian construction over
+devices and psum the information contributions.
+
+The scale-out layer the reference lacks (SURVEY.md §5): the stacked MSCKF
+update depends on the measurements only through the information pair
+Lambda = H^T H and b = H^T r (with isotropic noise) — an associative
+reduction, exactly like blockwise-softmax accumulation in ring attention.
+Each device triangulates + differentiates its shard of the feature table,
+accumulates its local (Lambda, b), and one `psum` over the `fp` mesh axis
+recovers the full-information update; the state stays replicated. The update
+itself is the Cholesky-compressed equivalent of the stacked-QR path
+(R^T R = H^T H), verified equal in tests.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config.core import FilterConfig
+from ..filter.state import FilterState
+from ..filter.tracks import CompactTracks
+from ..filter.triangulation import triangulate
+from ..filter.update import FeatureJacobians, feature_jacobians, gate_features
+from ..filter.augment import cam_poses, increment_state
+
+
+def information_from_jacobians(fj: FeatureJacobians, use_mask):
+    """(Lambda, b) accumulated over this shard's features."""
+    H = jnp.where(use_mask[:, None, None], fj.H, 0.0)
+    r = jnp.where(use_mask[:, None], fj.r, 0.0)
+    Hm = H.reshape(-1, H.shape[-1])
+    rm = r.reshape(-1)
+    return Hm.T @ Hm, Hm.T @ rm
+
+
+def information_update(cfg: FilterConfig, state: FilterState, Lam, b, ridge=1e-8):
+    """EKF update from the information pair (exact given R = sigma^2 I).
+
+    H_eff = chol(Lambda)^T has H_eff^T H_eff = Lambda, so the standard
+    S-form update with (H_eff, r_eff = L^{-1} b) equals the stacked update
+    (matrix-inversion-lemma identity). A relative ridge keeps the Cholesky
+    well-posed when few features finish.
+    """
+    D = state.P.shape[0]
+    dtype = state.P.dtype
+    sigma2 = cfg.observation_noise**2
+    scale = jnp.maximum(jnp.trace(Lam) / D, 1e-12)
+    Lr = jnp.linalg.cholesky(Lam + (ridge * scale) * jnp.eye(D, dtype=dtype))
+    H_eff = Lr.T
+    r_eff = jax.scipy.linalg.solve_triangular(Lr, b, lower=True)
+    S = H_eff @ state.P @ H_eff.T + sigma2 * jnp.eye(D, dtype=dtype)
+    chol = jax.scipy.linalg.cho_factor(S, lower=True)
+    K_T = jax.scipy.linalg.cho_solve(chol, H_eff @ state.P)
+    K = K_T.T
+    dx = K @ r_eff
+    state = increment_state(cfg, state, dx)
+    I_KH = jnp.eye(D, dtype=dtype) - K @ H_eff
+    Pn = I_KH @ state.P
+    return state.replace(P=0.5 * (Pn + Pn.T)), dx
+
+
+def feature_parallel_update(cfg: FilterConfig, mesh: Mesh, axis: str = "fp"):
+    """Build a jitted sharded update: features split over `axis`, state replicated.
+
+    Returns fn(state, ct_shardable, p_w, use_mask_inputs...) — here we take the
+    already-classified inputs: ct (CompactTracks, feature axis shardable),
+    p_w (F, 3), use (F,). All devices produce the identical updated state.
+    """
+    n_dev = mesh.shape[axis]
+
+    def local(state, ct, p_w, use):
+        fj = feature_jacobians(cfg, state, ct, p_w)
+        Lam, b = information_from_jacobians(fj, use)
+        Lam = jax.lax.psum(Lam, axis)
+        b = jax.lax.psum(b, axis)
+        new_state, dx = information_update(cfg, state, Lam, b)
+        return new_state, dx
+
+    shard = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(fn)
