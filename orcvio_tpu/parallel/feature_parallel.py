@@ -90,6 +90,5 @@ def feature_parallel_update(cfg: FilterConfig, mesh: Mesh, axis: str = "fp"):
         local, mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis)),
         out_specs=(P(), P()),
-        check_rep=False,
     )
     return jax.jit(fn)
