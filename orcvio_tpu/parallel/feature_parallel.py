@@ -36,16 +36,18 @@ def information_from_jacobians(fj: FeatureJacobians, use_mask):
     return Hm.T @ Hm, Hm.T @ rm
 
 
-def information_update(cfg: FilterConfig, state: FilterState, Lam, b, ridge=1e-8):
+def information_update(cfg: FilterConfig, state: FilterState, Lam, b, ridge=None):
     """EKF update from the information pair (exact given R = sigma^2 I).
 
     H_eff = chol(Lambda)^T has H_eff^T H_eff = Lambda, so the standard
     S-form update with (H_eff, r_eff = L^{-1} b) equals the stacked update
-    (matrix-inversion-lemma identity). A relative ridge keeps the Cholesky
-    well-posed when few features finish.
+    (matrix-inversion-lemma identity). A relative ridge (scaled to the dtype's
+    epsilon — Lambda is usually rank-deficient) keeps the Cholesky well-posed.
     """
     D = state.P.shape[0]
     dtype = state.P.dtype
+    if ridge is None:
+        ridge = 1e-4 if dtype == jnp.float32 else 1e-9
     sigma2 = cfg.observation_noise**2
     scale = jnp.maximum(jnp.trace(Lam) / D, 1e-12)
     Lr = jnp.linalg.cholesky(Lam + (ridge * scale) * jnp.eye(D, dtype=dtype))
