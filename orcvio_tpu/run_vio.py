@@ -56,6 +56,14 @@ def run_image_sequence(
     track_j = jax.jit(lambda s, img, t, g: process_frame(tc, s, img, t, g, R_b2c))
     vio_j = jax.jit(lambda s, fr: vio_step(cfg, s, fr, chi2))
 
+    # FlexibleInitializer fallback (FlexibleInitializer.cpp:10-26): if static
+    # init hasn't fired after dyn_window frames, try the dynamic initializer
+    # on the recent window.
+    from collections import deque
+
+    dyn_window = 10
+    recent = deque(maxlen=dyn_window)
+
     out_t, out_p, out_R = [], [], []
     n_upd = []
     t0 = time.perf_counter()
@@ -77,6 +85,23 @@ def run_image_sequence(
             uv_vels=tout.uv_vels,
             meas_mask=tout.meas_mask,
         )
+        if not bool(vs.filter.initialized):
+            recent.append(frame)
+            if len(recent) == dyn_window and k % 5 == 0:
+                from .init.dynamic import flexible_dynamic_attempt
+
+                res = flexible_dynamic_attempt(
+                    cfg, list(recent), R_b2c, t_c_b, jax.random.PRNGKey(k)
+                )
+                if res is not None and bool(res.ok):
+                    imu0 = jax.tree.map(lambda x: x.astype(dtype), res.imu)
+                    fs = vs.filter
+                    vs = vs.replace(filter=fs.replace(
+                        imu=imu0, imu_old=imu0, imu_fej_now=imu0, imu_fej_old=imu0,
+                        t=jnp.asarray(frame_ts[k], dtype),
+                        initialized=jnp.ones((), bool),
+                    ))
+                    print(f"[init] dynamic initialization at frame {k} (scale {float(res.scale):.3f})")
         vs, fout = vio_j(vs, frame)
         out_t.append(float(frame_ts[k]))
         out_p.append(np.asarray(fout.p))
