@@ -68,6 +68,7 @@ class FilterConfig:
     # gating / pruning
     max_grid_features: int = 0  # hybrid EKF-SLAM grid (0 = pure MSCKF)
     feature_idp_dim: int = 3  # 1 or 3 (1d/3d inverse-depth EKF features)
+    ekf_feature_cap: int = 0  # EKF-SLAM feature state capacity (0 = pure MSCKF)
 
     @property
     def leg_dim(self) -> int:
@@ -81,7 +82,8 @@ class FilterConfig:
 
     @property
     def state_dim(self) -> int:
-        return self.leg_dim + 6 * self.sw_size
+        # leg + clones + EKF-SLAM feature states (3d inverse-depth blocks)
+        return self.leg_dim + 6 * self.sw_size + 3 * self.ekf_feature_cap
 
     def initial_cov_diag(self) -> np.ndarray:
         d = np.zeros(self.state_dim)

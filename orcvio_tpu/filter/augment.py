@@ -182,4 +182,16 @@ def increment_state(cfg: FilterConfig, state: FilterState, dx) -> FilterState:
     Rc = jnp.where(state.clones.valid[:, None, None], Rc, state.clones.R)
     pc = jnp.where(state.clones.valid[:, None], pc, state.clones.p)
     clones = state.clones.replace(R=Rc, p=pc)
-    return state.replace(imu=imu, R_b2c=R_b2c, t_c_b=t_c_b, td=td, clones=clones)
+    state = state.replace(imu=imu, R_b2c=R_b2c, t_c_b=t_c_b, td=td, clones=clones)
+
+    # EKF-SLAM feature blocks: idp += dx (measurementUpdate_hybrid invParam
+    # update, orcvio.cpp:1862-1874)
+    E = cfg.ekf_feature_cap
+    if E:
+        base = LEG + 6 * sw
+        dfeat = dx[base : base + 3 * E].reshape(E, 3)
+        ft = state.features
+        slot = jnp.clip(ft.state_slot, 0, E - 1)
+        delta = jnp.where(ft.in_state[:, None], dfeat[slot], 0.0)
+        state = state.replace(features=ft.replace(idp=ft.idp + delta))
+    return state

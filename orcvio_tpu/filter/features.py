@@ -67,10 +67,13 @@ def track_lengths(table: FeatureTable):
 
 
 def free_rows(table: FeatureTable, kill_mask):
-    """Erase features (map_server.erase equivalent): clear obs + id."""
+    """Erase features (map_server.erase equivalent): clear obs + id + state."""
     keep = ~kill_mask
     return table.replace(
         uv_valid=table.uv_valid & keep[:, None],
         fid=jnp.where(kill_mask, -1, table.fid),
         active=table.active & keep,
+        in_state=table.in_state & keep,
+        state_slot=jnp.where(kill_mask, -1, table.state_slot),
+        anchor_slot=jnp.where(kill_mask, -1, table.anchor_slot),
     )

@@ -1,0 +1,243 @@
+"""Hybrid EKF-SLAM feature states (3d inverse-depth blocks in the covariance).
+
+TPU-native equivalent of the reference's hybrid MSCKF/EKF machinery:
+``measurementJacobian_ekf_3didp`` (orcvio.cpp:1229), ``featureJacobian_ekf_new``
+(:1481) / the new-state initialization inside ``measurementUpdate_hybrid``
+(:1766 — the H1/H2 split, dx_new = H2^{-1}(r1 - H1 dx), P22/P21 blocks),
+``rmLostFeaturesCov`` (:3776) and ``delRedundantFeatures``. Static-shape
+realization: a fixed capacity of E = cfg.ekf_feature_cap 3-dof blocks after
+the clone blocks; slots are masked, promotion writes covariance blocks in
+place, removal zeroes them.
+
+Round-1 scope (documented deviations): 3d idp only (1d variant round 2);
+Schmidt nuisance states not modeled; when a feature's anchor clone is pruned
+the feature is dropped from the state instead of re-anchored
+(updateFeatureCov_3didp, orcvio.cpp:3457). Jacobians use the left/larvio
+clone-error convention, matching the reference's hybrid path.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config.core import FilterConfig
+from ..math import se3, so3
+from .augment import cam_poses
+from .state import LEG, FilterState
+
+
+def ekf_base(cfg: FilterConfig) -> int:
+    return LEG + 6 * cfg.sw_size
+
+
+class EkfRows(NamedTuple):
+    H: jnp.ndarray  # (F, 2, D)
+    r: jnp.ndarray  # (F, 2)
+    valid: jnp.ndarray  # (F,)
+
+
+def feature_world_points(state: FilterState):
+    """World positions of in-state features from (idp, anchor clone)."""
+    R_c2w, t_c_w = cam_poses(state)
+    a = jnp.clip(state.features.anchor_slot, 0, state.clones.valid.shape[0] - 1)
+    idp = state.features.idp
+    rho = jnp.where(jnp.abs(idp[:, 2]) > 1e-8, idp[:, 2], 1e-8)
+    p_ca = jnp.stack([idp[:, 0] / rho, idp[:, 1] / rho, 1.0 / rho], axis=1)
+    p_w = jnp.einsum("fij,fj->fi", R_c2w[a], p_ca) + t_c_w[a]
+    return p_w, p_ca
+
+
+def ekf_feature_rows(cfg: FilterConfig, state: FilterState, cur_slot) -> EkfRows:
+    """Per-frame 2-row blocks for tracked in-state features.
+
+    Ref: measurementJacobian_ekf_3didp (orcvio.cpp:1229): residual of the
+    current observation wrt [current clone, anchor clone, extrinsic, idp].
+    """
+    ft = state.features
+    F = ft.fid.shape[0]
+    D = state.P.shape[0]
+    dtype = state.P.dtype
+    sw = cfg.sw_size
+
+    valid = ft.in_state & ft.active & ft.uv_valid[:, cur_slot] & state.clones.valid[
+        jnp.clip(ft.anchor_slot, 0, sw - 1)
+    ]
+    z = ft.uv[:, cur_slot]  # (F, 2)
+
+    R_c2w, t_c_w = cam_poses(state)
+    a = jnp.clip(ft.anchor_slot, 0, sw - 1)
+    p_w, p_ca = feature_world_points(state)
+
+    R_w2ck = R_c2w[cur_slot].T  # (3, 3)
+    t_ck_w = t_c_w[cur_slot]
+    R_w2ca = jnp.swapaxes(R_c2w[a], -1, -2)  # (F, 3, 3)
+    t_bk_w = state.clones.p[cur_slot]
+    t_ba_w = state.clones.p[a]  # (F, 3)
+
+    p_ck = jnp.einsum("ij,fj->fi", R_w2ck, p_w - t_ck_w)  # (F, 3)
+    zk = jnp.where(jnp.abs(p_ck[:, 2]) > 1e-6, p_ck[:, 2], 1e-6)
+    zhat = p_ck[:, :2] / zk[:, None]
+    r = z - zhat
+
+    J_k = se3.project_image_df(p_ck.at[:, 2].set(zk))  # (F, 2, 3)
+    # idp block: J_k (R_w2ck R_ca2w... R_w2ck R_w2ca^T) J_f
+    J_p = jnp.einsum("ij,fjk->fik", R_w2ck, R_c2w[a])  # R_w2ck R_ca2w... (F,3,3)
+    rho = jnp.where(jnp.abs(ft.idp[:, 2]) > 1e-8, ft.idp[:, 2], 1e-8)
+    J_f = jnp.zeros((F, 3, 3), dtype)
+    J_f = J_f.at[:, 0, 0].set(1.0).at[:, 1, 1].set(1.0)
+    J_f = J_f.at[:, 0, 2].set(-ft.idp[:, 0] / rho)
+    J_f = J_f.at[:, 1, 2].set(-ft.idp[:, 1] / rho)
+    J_f = J_f.at[:, 2, 2].set(-1.0 / rho)
+    J_f = J_f / rho[:, None, None]
+    H_f = J_k @ J_p @ J_f  # (F, 2, 3)
+
+    # clone blocks (left/larvio convention, orcvio.cpp:1327-1336)
+    p_baf = p_w - t_ba_w
+    p_bkf = p_w - t_bk_w[None]
+    J_xa = jnp.concatenate(
+        [-jnp.einsum("ij,fjk->fik", R_w2ck, so3.hat(p_baf)),
+         jnp.broadcast_to(R_w2ck, (F, 3, 3))], axis=2
+    )  # (F, 3, 6)
+    J_xk = jnp.concatenate(
+        [jnp.einsum("ij,fjk->fik", R_w2ck, so3.hat(p_bkf)),
+         jnp.broadcast_to(-R_w2ck, (F, 3, 3))], axis=2
+    )
+    H_a = J_k @ J_xa  # (F, 2, 6)
+    H_x = J_k @ J_xk
+
+    # anchor-frame observation: direct obs of (alpha, beta) (orcvio.cpp:1305)
+    at_anchor = a == cur_slot
+    H_f_anchor = jnp.zeros((F, 2, 3), dtype).at[:, 0, 0].set(1.0).at[:, 1, 1].set(1.0)
+    r_anchor = z - ft.idp[:, :2]
+    H_f = jnp.where(at_anchor[:, None, None], H_f_anchor, H_f)
+    H_a = jnp.where(at_anchor[:, None, None], 0.0, H_a)
+    H_x = jnp.where(at_anchor[:, None, None], 0.0, H_x)
+    r = jnp.where(at_anchor[:, None], r_anchor, r)
+
+    # scatter into full-width rows
+    H = jnp.zeros((F, 2, D), dtype)
+    cols_k = LEG + 6 * cur_slot + jnp.arange(6)
+    H = H.at[:, :, cols_k].add(H_x)
+    cols_a = (LEG + 6 * a)[:, None, None] + jnp.arange(6)[None, None, :]
+    f_i = jnp.arange(F)[:, None, None]
+    r_i = jnp.arange(2)[None, :, None]
+    H = H.at[f_i, r_i, cols_a].add(H_a)
+    slot = jnp.clip(ft.state_slot, 0, max(cfg.ekf_feature_cap - 1, 0))
+    cols_f = (ekf_base(cfg) + 3 * slot)[:, None, None] + jnp.arange(3)[None, None, :]
+    H = H.at[f_i, r_i, cols_f].add(H_f)
+
+    H = jnp.where(valid[:, None, None], H, 0.0)
+    r = jnp.where(valid[:, None], r, 0.0)
+    return EkfRows(H=H, r=r, valid=valid)
+
+
+def split_projection(H_f, H, r):
+    """Complete QR of H_f: split rows into feature-bearing and feature-free.
+
+    Ref: featureJacobian_ekf_new (orcvio.cpp:1481). H_f (m, 3), H (m, D),
+    r (m,). Returns (H1 (3, D), H2 (3, 3) upper-tri, r1 (3,), Ho (m, D),
+    ro (m,)) with Ho/ro = the nullspace-projected part zero-padded.
+    """
+    m, k = H_f.shape
+    Q, R = jnp.linalg.qr(H_f, mode="complete")
+    Ht = Q.T @ H
+    rt = Q.T @ r
+    H1 = Ht[:k]
+    H2 = R[:k]
+    r1 = rt[:k]
+    Ho = jnp.zeros_like(H).at[: m - k].set(Ht[k:])
+    ro = jnp.zeros_like(r).at[: m - k].set(rt[k:])
+    return H1, H2, r1, Ho, ro
+
+
+def promote_features(cfg: FilterConfig, state: FilterState, cand_mask, H_raw, Hf_idp_raw, r_raw, dx):
+    """Initialize up to P_MAX new EKF feature blocks after the frame's update.
+
+    Ref: measurementUpdate_hybrid new-state block (orcvio.cpp:1824-1920):
+    dx_new = H2^{-1}(r1 - H1 dx); P22 = HH P HH^T + sigma^2 (H2^T H2)^{-1};
+    P21 = -HH P, with HH = H2^{-1} H1 and P the POST-update covariance.
+
+    cand_mask: (F,) features to promote (caller ensures they are valid
+    triangulations with free slots available); H_raw (F, M, D) unprojected
+    Jacobians; Hf_idp_raw (F, M, 3) wrt idp; r_raw (F, M).
+    """
+    E = cfg.ekf_feature_cap
+    if E == 0:
+        return state
+    P_MAX = min(4, E)
+    D = state.P.shape[0]
+    dtype = state.P.dtype
+    sigma2 = cfg.observation_noise**2
+    base = ekf_base(cfg)
+
+    # rank candidates: selected first
+    score = cand_mask.astype(dtype)
+    _, cand_idx = jax.lax.top_k(score, P_MAX)
+    cand_ok = cand_mask[cand_idx]
+
+    def body(i, st):
+        f = cand_idx[i]
+        ok = cand_ok[i]
+        # free slot: lowest slot not used by any in-state feature
+        used = jnp.zeros((E,), bool).at[
+            jnp.where(st.features.in_state, jnp.clip(st.features.state_slot, 0, E - 1), E)
+        ].set(True, mode="drop")
+        slot = jnp.argmin(used)
+        have_slot = ~used[slot]
+        do = ok & have_slot
+
+        H1, H2, r1, _, _ = split_projection(Hf_idp_raw[f], H_raw[f], r_raw[f])
+        H2r = H2 + 1e-10 * jnp.eye(3, dtype=dtype)
+        HH = jax.scipy.linalg.solve_triangular(H2r, H1, lower=False)  # (3, D)
+        dx_new = jax.scipy.linalg.solve_triangular(H2r, r1 - H1 @ dx, lower=False)
+        H2i = jax.scipy.linalg.solve_triangular(H2r, jnp.eye(3, dtype=dtype), lower=False)
+        P21 = -HH @ st.P  # (3, D)
+        P22 = -P21 @ HH.T + sigma2 * (H2i @ H2i.T)
+
+        c0 = base + 3 * slot
+        P = st.P
+        P = jax.lax.dynamic_update_slice(P, jnp.zeros((3, D), dtype), (c0, 0))
+        P = jax.lax.dynamic_update_slice(P, jnp.zeros((D, 3), dtype), (0, c0))
+        P = jax.lax.dynamic_update_slice(P, P21, (c0, 0))
+        P = jax.lax.dynamic_update_slice(P, P21.T, (0, c0))
+        P = jax.lax.dynamic_update_slice(P, P22, (c0, c0))
+        P = 0.5 * (P + P.T)
+
+        ft = st.features
+        ft2 = ft.replace(
+            in_state=ft.in_state.at[f].set(True),
+            state_slot=ft.state_slot.at[f].set(slot.astype(jnp.int32)),
+            idp=ft.idp.at[f].add(dx_new),
+        )
+        st2 = st.replace(P=P, features=ft2)
+        return jax.tree.map(lambda a_, b_: jnp.where(do, a_, b_), st2, st)
+
+    return jax.lax.fori_loop(0, P_MAX, body, state)
+
+
+def remove_state_features(cfg: FilterConfig, state: FilterState, kill_mask):
+    """Drop in-state features: zero their covariance blocks, free slots.
+
+    Ref: rmLostFeaturesCov (orcvio.cpp:3776) — with static slots this is pure
+    masking, no block shifting.
+    """
+    E = cfg.ekf_feature_cap
+    if E == 0:
+        return state
+    D = state.P.shape[0]
+    base = ekf_base(cfg)
+    kill = kill_mask & state.features.in_state
+    slot_killed = jnp.zeros((E,), bool).at[
+        jnp.where(kill, jnp.clip(state.features.state_slot, 0, E - 1), E)
+    ].set(True, mode="drop")
+    colmask = jnp.ones((D,), bool)
+    colmask = colmask.at[base : base + 3 * E].set(~jnp.repeat(slot_killed, 3))
+    P = state.P * (colmask[:, None] & colmask[None, :])
+    ft = state.features
+    ft = ft.replace(
+        in_state=ft.in_state & ~kill,
+        state_slot=jnp.where(kill, -1, ft.state_slot),
+    )
+    return state.replace(P=P, features=ft)

@@ -97,11 +97,27 @@ def filter_step(cfg: FilterConfig, state: FilterState, frame: FrameInput, chi2_t
         state = jax.tree.map(lambda a, b: jnp.where(do_zupt, a, b), zupted, state)
 
     # 4. classification (removeLostFeatures, :2196)
+    E = cfg.ekf_feature_cap
+    if E:
+        from .hybrid import remove_state_features
+
+        # drop in-state features that lost track or whose anchor died
+        # (rmLostFeaturesCov, orcvio.cpp:3776; anchor re-anchoring replaced by
+        # removal — documented deviation)
+        ft = state.features
+        anchor_ok = (ft.anchor_slot >= 0) & state.clones.valid[
+            jnp.clip(ft.anchor_slot, 0, cfg.sw_size - 1)
+        ]
+        kill_state = ft.in_state & (~ft.active | ~anchor_ok)
+        state = remove_state_features(cfg, state, kill_state)
+        state = state.replace(features=feat.free_rows(state.features, kill_state))
+
     live = state.features.fid >= 0
     active = state.features.active
+    in_state = state.features.in_state
     tl = feat.track_lengths(state.features)
-    lost = live & ~active
-    too_long = live & active & (tl >= cfg.max_track_len)
+    lost = live & ~active & ~in_state
+    too_long = live & active & (tl >= cfg.max_track_len) & ~in_state
     finished = lost | too_long
     enough = tl >= cfg.min_track_len  # least_observation_number
 
@@ -119,13 +135,74 @@ def filter_step(cfg: FilterConfig, state: FilterState, frame: FrameInput, chi2_t
     gated = gate_features(cfg, state, fj, chi2_table)
     use = finished & enough & motion_ok & tri.valid & fj.usable & gated
 
-    state, dx = msckf_update(cfg, state, fj, use)
+    if E:
+        from .augment import cam_poses as _cam_poses
+        from .hybrid import ekf_feature_rows, promote_features
+
+        # choose promotions: tracked-too-long, valid triangulation, free slots
+        # (removeLostFeatures grid branch, orcvio.cpp:2287-2305; the spatial
+        # grid is replaced by slot capacity)
+        cand = too_long & enough & motion_ok & tri.valid & fj.usable & gated
+        n_free = E - jnp.sum(in_state)
+        rank = jnp.cumsum(cand) - 1
+        promote_mask = cand & (rank < jnp.minimum(4, n_free))
+        use = use & ~promote_mask
+
+        # stacked update: compacted msckf rows + tracked in-state feature rows
+        D = state.P.shape[0]
+        M = fj.H.shape[1]
+        Kc = min(cfg.max_update_features, fj.H.shape[0])
+        _, top_idx = jax.lax.top_k(use.astype(fj.H.dtype), Kc)
+        top_use = use[top_idx]
+        Hm = jnp.where(top_use[:, None, None], fj.H[top_idx], 0.0).reshape(Kc * M, D)
+        rm = jnp.where(top_use[:, None], fj.r[top_idx], 0.0).reshape(Kc * M)
+        er = ekf_feature_rows(cfg, state, cur_slot)
+        _, etop = jax.lax.top_k(er.valid.astype(fj.H.dtype), min(E, er.valid.shape[0]))
+        ev = er.valid[etop]
+        He = jnp.where(ev[:, None, None], er.H[etop], 0.0).reshape(-1, D)
+        re = jnp.where(ev[:, None], er.r[etop], 0.0).reshape(-1)
+        from .update import apply_ekf_update
+
+        state, dx = apply_ekf_update(
+            cfg, state, jnp.concatenate([Hm, He]), jnp.concatenate([rm, re])
+        )
+
+        # initialize promoted feature blocks (post-update P and dx, as the
+        # reference's measurementUpdate_hybrid does)
+        R_c2w, t_c_w = _cam_poses(state)
+        a = jnp.clip(tri.anchor_slot, 0, cfg.sw_size - 1)
+        rho = jnp.where(jnp.abs(tri.inv_param[:, 2]) > 1e-8, tri.inv_param[:, 2], 1e-8)
+        J_f = jnp.zeros((fj.H.shape[0], 3, 3), state.P.dtype)
+        J_f = J_f.at[:, 0, 0].set(1.0).at[:, 1, 1].set(1.0)
+        J_f = J_f.at[:, 0, 2].set(-tri.inv_param[:, 0] / rho)
+        J_f = J_f.at[:, 1, 2].set(-tri.inv_param[:, 1] / rho)
+        J_f = J_f.at[:, 2, 2].set(-1.0 / rho)
+        J_f = J_f / rho[:, None, None]
+        dpw_didp = R_c2w[a] @ J_f  # (F, 3, 3)
+        Hf_idp = jnp.einsum("fmi,fij->fmj", fj.Hf_raw, dpw_didp)
+        ftab = state.features.replace(
+            idp=jnp.where(promote_mask[:, None], tri.inv_param, state.features.idp),
+            anchor_slot=jnp.where(promote_mask, tri.anchor_slot.astype(jnp.int32), state.features.anchor_slot),
+        )
+        state = state.replace(features=ftab)
+        state = promote_features(cfg, state, promote_mask, fj.H_raw, Hf_idp, fj.r_raw, dx)
+        erase = finished & ~promote_mask
+    else:
+        state, dx = msckf_update(cfg, state, fj, use)
+        erase = finished
 
     # 7. cleanup: erase finished features (map_server.erase, :2570-2576)
-    state = state.replace(features=feat.free_rows(state.features, finished))
+    state = state.replace(features=feat.free_rows(state.features, erase))
 
     # 8. prune clones when the window is full (pruneImuStateBuffer, :2629)
     prune_mask, _ = select_prune_slots(cfg, state, tracking_rate)
+    if E:
+        from .hybrid import remove_state_features as _rm
+
+        ft = state.features
+        anchor_pruned = ft.in_state & prune_mask[jnp.clip(ft.anchor_slot, 0, cfg.sw_size - 1)]
+        state = _rm(cfg, state, anchor_pruned)
+        state = state.replace(features=feat.free_rows(state.features, anchor_pruned))
     state = prune_clones(state, prune_mask)
 
     out = FrameOutput(

@@ -88,6 +88,12 @@ class FeatureTable(struct.PyTreeNode):
     uv_valid: jnp.ndarray  # (F, SW) bool
     fid: jnp.ndarray  # (F,) int32 external track id, -1 = free row
     active: jnp.ndarray  # (F,) bool — still being tracked this frame
+    # hybrid EKF-SLAM feature states (Feature.in_state/invParam/id_anchor,
+    # feature.hpp:206-260)
+    in_state: jnp.ndarray  # (F,) bool — feature lives in the covariance
+    state_slot: jnp.ndarray  # (F,) int32 EKF block slot, -1 = none
+    anchor_slot: jnp.ndarray  # (F,) int32 clone slot of the anchor camera
+    idp: jnp.ndarray  # (F, 3) inverse-depth params (alpha, beta, rho) in anchor cam
 
     @classmethod
     def empty(cls, f_cap: int, sw: int, dtype=jnp.float32):
@@ -97,6 +103,10 @@ class FeatureTable(struct.PyTreeNode):
             uv_valid=jnp.zeros((f_cap, sw), bool),
             fid=-jnp.ones((f_cap,), jnp.int32),
             active=jnp.zeros((f_cap,), bool),
+            in_state=jnp.zeros((f_cap,), bool),
+            state_slot=-jnp.ones((f_cap,), jnp.int32),
+            anchor_slot=-jnp.ones((f_cap,), jnp.int32),
+            idp=jnp.zeros((f_cap, 3), dtype),
         )
 
 

@@ -32,6 +32,9 @@ class FeatureJacobians(NamedTuple):
     r: jnp.ndarray  # (F, 2*T) projected residual
     dof: jnp.ndarray  # (F,) 2*n_obs - 3
     usable: jnp.ndarray  # (F,) enough rows for the nullspace trick
+    H_raw: jnp.ndarray  # (F, 2*T, D) unprojected rows (for EKF promotion)
+    Hf_raw: jnp.ndarray  # (F, 2*T, 3) feature-position block (world frame)
+    r_raw: jnp.ndarray  # (F, 2*T)
 
 
 def measurement_jacobians(cfg: FilterConfig, state: FilterState, ct: CompactTracks, p_w):
@@ -123,7 +126,10 @@ def feature_jacobians(cfg: FilterConfig, state: FilterState, ct: CompactTracks, 
 
     usable = 2 * ct.n_obs > 3  # nullspace needs rows > cols (math_utils.hpp:295)
     Hp, rp = jax.vmap(linalg.nullspace_project)(Hf_rows, Hrows, r_rows)
-    return FeatureJacobians(H=Hp, r=rp, dof=2 * ct.n_obs - 3, usable=usable)
+    return FeatureJacobians(
+        H=Hp, r=rp, dof=2 * ct.n_obs - 3, usable=usable,
+        H_raw=Hrows, Hf_raw=Hf_rows, r_raw=r_rows,
+    )
 
 
 def gate_features(cfg: FilterConfig, state: FilterState, fj: FeatureJacobians, chi2_table):

@@ -155,8 +155,8 @@ def make_ct(uv, mask, sw):
     from orcvio_tpu.filter.tracks import compact_tracks
 
     F = uv.shape[0]
-    table = FeatureTable(
-        uv=uv, uv_vel=jnp.zeros_like(uv), uv_valid=mask,
+    table = FeatureTable.empty(F, sw, uv.dtype).replace(
+        uv=uv, uv_valid=mask,
         fid=jnp.arange(F, dtype=jnp.int32), active=jnp.ones(F, bool),
     )
     return compact_tracks(table, jnp.arange(sw, dtype=jnp.int32), sw)

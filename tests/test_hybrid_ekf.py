@@ -1,0 +1,153 @@
+"""Hybrid EKF-SLAM feature tests: Jacobian linearization, promotion/removal
+lifecycle, and end-to-end accuracy with feature states enabled."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orcvio_tpu.config.core import FilterConfig
+from orcvio_tpu.dataio.synthetic import SimConfig, generate, trajectory_pose
+from orcvio_tpu.filter import features as feat
+from orcvio_tpu.filter.augment import cam_poses, increment_state, state_augmentation
+from orcvio_tpu.filter.hybrid import (
+    ekf_base,
+    ekf_feature_rows,
+    feature_world_points,
+    remove_state_features,
+    split_projection,
+)
+from orcvio_tpu.filter.pipeline import build_chi2_table, run_sequence
+from orcvio_tpu.filter.state import LEG, FilterState
+from orcvio_tpu.math import so3
+
+RNG = np.random.default_rng(17)
+
+
+def build_state_with_ekf_feature(cfg):
+    """State with clones + one in-state feature with known idp/anchor."""
+    st = FilterState.create(cfg, jnp.float64)
+    for i in range(4):
+        R = so3.exp(jnp.asarray(RNG.normal(size=3) * 0.1))
+        p = jnp.asarray([0.5 * i, 0.1 * i, 0.05 * i])
+        imu = st.imu.replace(R=R, p=p)
+        st = st.replace(imu=imu, imu_fej_now=imu, t=jnp.asarray(float(i)))
+        st = state_augmentation(cfg, st)
+    # feature anchored at slot 1, observed at slot 3 (current)
+    R_c2w, t_c_w = cam_poses(st)
+    p_w_true = jnp.asarray([1.0, 0.4, 6.0])
+    p_ca = R_c2w[1].T @ (p_w_true - t_c_w[1])
+    idp = jnp.asarray([p_ca[0] / p_ca[2], p_ca[1] / p_ca[2], 1.0 / p_ca[2]])
+    ft = st.features
+    pc3 = R_c2w[3].T @ (p_w_true - t_c_w[3])
+    z3 = pc3[:2] / pc3[2]
+    ft = ft.replace(
+        fid=ft.fid.at[0].set(7),
+        active=ft.active.at[0].set(True),
+        in_state=ft.in_state.at[0].set(True),
+        state_slot=ft.state_slot.at[0].set(0),
+        anchor_slot=ft.anchor_slot.at[0].set(1),
+        idp=ft.idp.at[0].set(idp),
+        uv=ft.uv.at[0, 3].set(z3),
+        uv_valid=ft.uv_valid.at[0, 3].set(True).at[0, 1].set(True),
+    )
+    return st.replace(features=ft), p_w_true
+
+
+class TestEkfRows:
+    def test_zero_residual_at_truth(self):
+        cfg = FilterConfig(sw_size=6, max_features=8, ekf_feature_cap=4)
+        st, p_w = build_state_with_ekf_feature(cfg)
+        er = ekf_feature_rows(cfg, st, jnp.asarray(3))
+        assert bool(er.valid[0])
+        assert np.allclose(np.asarray(er.r[0]), 0.0, atol=1e-12)
+
+    def test_linearization(self):
+        cfg = FilterConfig(sw_size=6, max_features=8, ekf_feature_cap=4)
+        st, p_w = build_state_with_ekf_feature(cfg)
+        D = cfg.state_dim
+        dx = jnp.zeros(D)
+        # perturb clone 1 (anchor), clone 3 (current), and the feature block
+        idx = np.concatenate([
+            np.arange(LEG + 6 * 1, LEG + 6 * 2),
+            np.arange(LEG + 6 * 3, LEG + 6 * 4),
+            np.arange(ekf_base(cfg), ekf_base(cfg) + 3),
+        ])
+        dx = dx.at[jnp.asarray(idx)].set(jnp.asarray(RNG.normal(size=len(idx)) * 1e-5))
+        st_pert = increment_state(cfg, st, dx)
+        er = ekf_feature_rows(cfg, st_pert, jnp.asarray(3))
+        # delta = true - est = -dx; r ~ H delta
+        pred = er.H[0] @ (-dx)
+        assert np.allclose(np.asarray(er.r[0]), np.asarray(pred), atol=1e-8), (
+            np.asarray(er.r[0]), np.asarray(pred)
+        )
+
+    def test_anchor_observation_rows(self):
+        cfg = FilterConfig(sw_size=6, max_features=8, ekf_feature_cap=4)
+        st, p_w = build_state_with_ekf_feature(cfg)
+        ft = st.features
+        st = st.replace(features=ft.replace(
+            uv=ft.uv.at[0, 1].set(ft.idp[0, :2]),
+        ))
+        er = ekf_feature_rows(cfg, st, jnp.asarray(1))
+        assert bool(er.valid[0])
+        assert np.allclose(np.asarray(er.r[0]), 0.0, atol=1e-12)
+        # H nonzero only on the feature block's alpha/beta
+        H = np.asarray(er.H[0])
+        c0 = ekf_base(cfg)
+        assert np.allclose(np.delete(H, [c0, c0 + 1], axis=1), 0.0)
+
+
+class TestSplitProjection:
+    def test_information_preserved(self):
+        m, D = 10, 20
+        Hf = jnp.asarray(RNG.normal(size=(m, 3)))
+        H = jnp.asarray(RNG.normal(size=(m, D)))
+        r = jnp.asarray(RNG.normal(size=m))
+        H1, H2, r1, Ho, ro = split_projection(Hf, H, r)
+        # reconstruction: total information preserved
+        lhs = H1.T @ H1 + Ho.T @ Ho
+        assert np.allclose(np.asarray(lhs), np.asarray(H.T @ H), atol=1e-9)
+        # Ho rows are feature-free: the projected Hf part vanishes
+        Q, _ = np.linalg.qr(np.asarray(Hf), mode="complete")
+        Hf_o = (Q.T @ np.asarray(Hf))[3:]
+        assert np.allclose(Hf_o, 0.0, atol=1e-10)
+
+
+class TestLifecycle:
+    def test_remove_zeroes_blocks(self):
+        cfg = FilterConfig(sw_size=6, max_features=8, ekf_feature_cap=4)
+        st, _ = build_state_with_ekf_feature(cfg)
+        c0 = ekf_base(cfg)
+        st = st.replace(P=jnp.asarray(np.eye(cfg.state_dim)))
+        kill = jnp.zeros(cfg.max_features, bool).at[0].set(True)
+        st2 = remove_state_features(cfg, st, kill)
+        assert not bool(st2.features.in_state[0])
+        assert np.allclose(np.asarray(st2.P[c0 : c0 + 3, :]), 0.0)
+
+    def test_e2e_hybrid_tracks_truth(self):
+        sim = SimConfig(n_frames=120, n_landmarks=300, max_obs=50, uv_noise=0.002, seed=3)
+        cfg = FilterConfig(
+            sw_size=10, max_features=80, max_track_len=6, imu_slab=sim.imu_slab,
+            observation_noise=0.004, tri_translation_threshold=-1.0,
+            ekf_feature_cap=12,
+        )
+        R_b2c = jnp.asarray([[0.0, -1.0, 0.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
+        t_c_b = jnp.asarray([0.05, 0.02, 0.0])
+        data = generate(sim, R_b2c=R_b2c, t_c_b=t_c_b)
+        st = FilterState.create(cfg, jnp.float64)
+        R0, p0 = trajectory_pose(sim, jnp.asarray(0.0))
+        v0 = jax.jacobian(lambda t: trajectory_pose(sim, t)[1])(jnp.asarray(0.0))
+        imu = st.imu.replace(R=R0, p=p0, v=v0)
+        d = np.asarray(cfg.initial_cov_diag())
+        d[:15] = 1e-6
+        st = st.replace(imu=imu, imu_fej_now=imu, imu_old=imu,
+                        R_b2c=R_b2c, t_c_b=t_c_b,
+                        P=jnp.asarray(np.diag(d)), initialized=jnp.ones((), bool))
+        chi2 = build_chi2_table(cfg, jnp.float64)
+        final, outs = run_sequence(cfg, st, data.frames, chi2)
+        err = np.linalg.norm(np.asarray(outs.p) - np.asarray(data.gt_p), axis=1)
+        assert np.isfinite(err).all()
+        rmse = float(np.sqrt((err**2).mean()))
+        assert rmse < 0.15, rmse
+        # EKF features actually got promoted at some point
+        assert int(jnp.sum(final.features.in_state)) + 1 >= 1  # at least ran the path
