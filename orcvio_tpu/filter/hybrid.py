@@ -152,16 +152,18 @@ def split_projection(H_f, H, r):
     return H1, H2, r1, Ho, ro
 
 
-def promote_features(cfg: FilterConfig, state: FilterState, cand_mask, H_raw, Hf_idp_raw, r_raw, dx):
+def promote_features(cfg: FilterConfig, state: FilterState, cand_mask, H_raw, Hf_idp_raw, r_raw, dx,
+                     row_ids=None):
     """Initialize up to P_MAX new EKF feature blocks after the frame's update.
 
     Ref: measurementUpdate_hybrid new-state block (orcvio.cpp:1824-1920):
     dx_new = H2^{-1}(r1 - H1 dx); P22 = HH P HH^T + sigma^2 (H2^T H2)^{-1};
     P21 = -HH P, with HH = H2^{-1} H1 and P the POST-update covariance.
 
-    cand_mask: (F,) features to promote (caller ensures they are valid
-    triangulations with free slots available); H_raw (F, M, D) unprojected
-    Jacobians; Hf_idp_raw (F, M, 3) wrt idp; r_raw (F, M).
+    cand_mask selects rows of H_raw (F or gathered Kc leading dim);
+    H_raw (·, M, D) unprojected Jacobians; Hf_idp_raw (·, M, 3) wrt idp;
+    r_raw (·, M). row_ids maps H_raw rows to feature-table rows (identity
+    when H_raw covers the whole table).
     """
     E = cfg.ekf_feature_cap
     if E == 0:
@@ -171,6 +173,8 @@ def promote_features(cfg: FilterConfig, state: FilterState, cand_mask, H_raw, Hf
     dtype = state.P.dtype
     sigma2 = cfg.observation_noise**2
     base = ekf_base(cfg)
+    if row_ids is None:
+        row_ids = jnp.arange(H_raw.shape[0], dtype=jnp.int32)
 
     # rank candidates: selected first
     score = cand_mask.astype(dtype)
@@ -178,7 +182,8 @@ def promote_features(cfg: FilterConfig, state: FilterState, cand_mask, H_raw, Hf
     cand_ok = cand_mask[cand_idx]
 
     def body(i, st):
-        f = cand_idx[i]
+        g = cand_idx[i]  # index into the gathered arrays
+        f = row_ids[g]  # feature-table row
         ok = cand_ok[i]
         # free slot: lowest slot not used by any in-state feature
         used = jnp.zeros((E,), bool).at[
@@ -188,7 +193,7 @@ def promote_features(cfg: FilterConfig, state: FilterState, cand_mask, H_raw, Hf
         have_slot = ~used[slot]
         do = ok & have_slot
 
-        H1, H2, r1, _, _ = split_projection(Hf_idp_raw[f], H_raw[f], r_raw[f])
+        H1, H2, r1, _, _ = split_projection(Hf_idp_raw[g], H_raw[g], r_raw[g])
         H2r = H2 + 1e-10 * jnp.eye(3, dtype=dtype)
         HH = jax.scipy.linalg.solve_triangular(H2r, H1, lower=False)  # (3, D)
         dx_new = jax.scipy.linalg.solve_triangular(H2r, r1 - H1 @ dx, lower=False)

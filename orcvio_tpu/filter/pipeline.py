@@ -122,18 +122,31 @@ def filter_step(cfg: FilterConfig, state: FilterState, frame: FrameInput, chi2_t
     enough = tl >= cfg.min_track_len  # least_observation_number
 
     # 5. triangulation (feature.hpp:583); exclude the current clone obs
-    #    (initializePosition skips curr_id, feature.hpp:416)
+    #    (initializePosition skips curr_id, feature.hpp:416).
+    # Only candidate (finishing) features can enter the update, so both the
+    # triangulation LM and the (K, 2T, D) Jacobian tensor are built on a
+    # gathered top-K subset — the full-table variants are pure zero-row
+    # traffic.
     ct = compact_tracks(state.features, state.clones.order, cfg.max_track_len)
     tri_entry_mask = ct.mask & ~(active[:, None] & (ct.slot == cur_slot))
     ct_tri = ct._replace(mask=tri_entry_mask, n_obs=jnp.sum(tri_entry_mask, axis=1).astype(jnp.int32))
     R_c2w, t_c_w = cam_poses(state)
     motion_ok = check_motion(ct_tri, R_c2w, t_c_w, cfg.tri_translation_threshold)
-    tri = triangulate(cfg, ct_tri, R_c2w, t_c_w)
+
+    F = state.features.fid.shape[0]
+    Kc = min(cfg.max_update_features, F)
+    pre_cand = finished & enough & motion_ok
+    _, cand_idx = jax.lax.top_k(pre_cand.astype(state.P.dtype), Kc)
+    ct_tri_k = jax.tree.map(lambda a_: a_[cand_idx], ct_tri)
+    tri = triangulate(cfg, ct_tri_k, R_c2w, t_c_w)  # gathered (Kc,) results
 
     # 6. Jacobians over the full track (featureJacobian_msckf uses all obs)
-    fj = feature_jacobians(cfg, state, ct, tri.p_world)
+    ct_k = jax.tree.map(lambda a_: a_[cand_idx], ct)
+    fj = feature_jacobians(cfg, state, ct_k, tri.p_world)
     gated = gate_features(cfg, state, fj, chi2_table)
-    use = finished & enough & motion_ok & tri.valid & fj.usable & gated
+    use_k = pre_cand[cand_idx] & tri.valid & fj.usable & gated  # (Kc,)
+    lost_k = lost[cand_idx]
+    too_long_k = too_long[cand_idx]
 
     if E:
         from .augment import cam_poses as _cam_poses
@@ -142,20 +155,17 @@ def filter_step(cfg: FilterConfig, state: FilterState, frame: FrameInput, chi2_t
         # choose promotions: tracked-too-long, valid triangulation, free slots
         # (removeLostFeatures grid branch, orcvio.cpp:2287-2305; the spatial
         # grid is replaced by slot capacity)
-        cand = too_long & enough & motion_ok & tri.valid & fj.usable & gated
+        cand_k = use_k & too_long_k
         n_free = E - jnp.sum(in_state)
-        rank = jnp.cumsum(cand) - 1
-        promote_mask = cand & (rank < jnp.minimum(4, n_free))
-        use = use & ~promote_mask
+        rank = jnp.cumsum(cand_k) - 1
+        promote_k = cand_k & (rank < jnp.minimum(4, n_free))
+        use_upd = use_k & ~promote_k
 
         # stacked update: compacted msckf rows + tracked in-state feature rows
         D = state.P.shape[0]
         M = fj.H.shape[1]
-        Kc = min(cfg.max_update_features, fj.H.shape[0])
-        _, top_idx = jax.lax.top_k(use.astype(fj.H.dtype), Kc)
-        top_use = use[top_idx]
-        Hm = jnp.where(top_use[:, None, None], fj.H[top_idx], 0.0).reshape(Kc * M, D)
-        rm = jnp.where(top_use[:, None], fj.r[top_idx], 0.0).reshape(Kc * M)
+        Hm = jnp.where(use_upd[:, None, None], fj.H, 0.0).reshape(Kc * M, D)
+        rm = jnp.where(use_upd[:, None], fj.r, 0.0).reshape(Kc * M)
         er = ekf_feature_rows(cfg, state, cur_slot)
         _, etop = jax.lax.top_k(er.valid.astype(fj.H.dtype), min(E, er.valid.shape[0]))
         ev = er.valid[etop]
@@ -170,25 +180,36 @@ def filter_step(cfg: FilterConfig, state: FilterState, frame: FrameInput, chi2_t
         # initialize promoted feature blocks (post-update P and dx, as the
         # reference's measurementUpdate_hybrid does)
         R_c2w, t_c_w = _cam_poses(state)
+        inv_k = tri.inv_param  # already gathered (Kc,)
         a = jnp.clip(tri.anchor_slot, 0, cfg.sw_size - 1)
-        rho = jnp.where(jnp.abs(tri.inv_param[:, 2]) > 1e-8, tri.inv_param[:, 2], 1e-8)
-        J_f = jnp.zeros((fj.H.shape[0], 3, 3), state.P.dtype)
+        rho = jnp.where(jnp.abs(inv_k[:, 2]) > 1e-8, inv_k[:, 2], 1e-8)
+        J_f = jnp.zeros((Kc, 3, 3), state.P.dtype)
         J_f = J_f.at[:, 0, 0].set(1.0).at[:, 1, 1].set(1.0)
-        J_f = J_f.at[:, 0, 2].set(-tri.inv_param[:, 0] / rho)
-        J_f = J_f.at[:, 1, 2].set(-tri.inv_param[:, 1] / rho)
+        J_f = J_f.at[:, 0, 2].set(-inv_k[:, 0] / rho)
+        J_f = J_f.at[:, 1, 2].set(-inv_k[:, 1] / rho)
         J_f = J_f.at[:, 2, 2].set(-1.0 / rho)
         J_f = J_f / rho[:, None, None]
-        dpw_didp = R_c2w[a] @ J_f  # (F, 3, 3)
+        dpw_didp = R_c2w[a] @ J_f  # (Kc, 3, 3)
         Hf_idp = jnp.einsum("fmi,fij->fmj", fj.Hf_raw, dpw_didp)
+        # scatter promotion decisions back to table rows
+        promote_mask = jnp.zeros((F,), bool).at[
+            jnp.where(promote_k, cand_idx, F)
+        ].set(True, mode="drop")
         ftab = state.features.replace(
-            idp=jnp.where(promote_mask[:, None], tri.inv_param, state.features.idp),
-            anchor_slot=jnp.where(promote_mask, tri.anchor_slot.astype(jnp.int32), state.features.anchor_slot),
+            idp=state.features.idp.at[jnp.where(promote_k, cand_idx, F)].set(inv_k, mode="drop"),
+            anchor_slot=state.features.anchor_slot.at[
+                jnp.where(promote_k, cand_idx, F)
+            ].set(tri.anchor_slot.astype(jnp.int32), mode="drop"),
         )
         state = state.replace(features=ftab)
-        state = promote_features(cfg, state, promote_mask, fj.H_raw, Hf_idp, fj.r_raw, dx)
+        state = promote_features(
+            cfg, state, promote_k, fj.H_raw, Hf_idp, fj.r_raw, dx, row_ids=cand_idx
+        )
         erase = finished & ~promote_mask
+        use = jnp.zeros((F,), bool).at[jnp.where(use_upd, cand_idx, F)].set(True, mode="drop")
     else:
-        state, dx = msckf_update(cfg, state, fj, use)
+        state, dx = msckf_update(cfg, state, fj, use_k)
+        use = jnp.zeros((F,), bool).at[jnp.where(use_k, cand_idx, F)].set(True, mode="drop")
         erase = finished
 
     # 7. cleanup: erase finished features (map_server.erase, :2570-2576)

@@ -184,8 +184,11 @@ def main(argv=None):
     write_tum(args.out, res["t"], res["p"], q)
     print(f"fps={res['fps']:.1f}, wrote {args.out}")
     if seq.gt_t is not None:
-        m = ate(res["t"], res["p"], q, seq.gt_t, seq.gt_p, seq.gt_q, alignment="posyaw")
-        print(f"ATE posyaw: {m['rmse_trans']:.3f} m, {m['rmse_rot_deg']:.2f} deg ({m['n_matched']} matched)")
+        try:
+            m = ate(res["t"], res["p"], q, seq.gt_t, seq.gt_p, seq.gt_q, alignment="posyaw")
+            print(f"ATE posyaw: {m['rmse_trans']:.3f} m, {m['rmse_rot_deg']:.2f} deg ({m['n_matched']} matched)")
+        except ValueError as e:
+            print(f"ATE skipped: {e}")
 
 
 if __name__ == "__main__":
