@@ -89,3 +89,59 @@ def equalize_hist(img, bins: int = 256):
     cdf = cdf / cdf[-1]
     idx = jnp.clip((flat / 255.0 * (bins - 1)).astype(jnp.int32), 0, bins - 1)
     return cdf[idx] * 255.0
+
+
+def clahe(img, grid=(8, 8), clip_limit: float = 3.0, bins: int = 256):
+    """Contrast-limited adaptive histogram equalization (cv::CLAHE equivalent).
+
+    The reference equalizes with cv::createCLAHE before tracking
+    (image_processor.cpp:322, flag_equalize). Tiled clipped histograms ->
+    per-tile CDF LUTs -> bilinear interpolation between the four neighboring
+    tile LUTs per pixel. One scatter-add builds all tile histograms at once.
+    """
+    H, W = img.shape
+    gh, gw = grid
+    th = -(-H // gh)
+    tw = -(-W // gw)
+    Hp, Wp = th * gh, tw * gw
+    x = jnp.pad(jnp.clip(img, 0.0, 255.0), ((0, Hp - H), (0, Wp - W)), mode="edge")
+
+    b = jnp.clip((x / 255.0 * (bins - 1)).astype(jnp.int32), 0, bins - 1)
+    tile_r = jnp.arange(Hp)[:, None] // th
+    tile_c = jnp.arange(Wp)[None, :] // tw
+    tile_id = tile_r * gw + tile_c
+    flat = (tile_id * bins + b).reshape(-1)
+    hist = jnp.zeros((gh * gw * bins,), img.dtype).at[flat].add(1.0)
+    hist = hist.reshape(gh * gw, bins)
+
+    # clip + redistribute (single pass, the standard CLAHE approximation)
+    n_pix = th * tw
+    clip = clip_limit * n_pix / bins
+    excess = jnp.sum(jnp.maximum(hist - clip, 0.0), axis=1, keepdims=True)
+    hist = jnp.minimum(hist, clip) + excess / bins
+
+    cdf = jnp.cumsum(hist, axis=1)
+    cdf = cdf / cdf[:, -1:]
+    lut = cdf * 255.0  # (n_tiles, bins)
+
+    # bilinear interpolation between tile centers
+    cy = (jnp.arange(Hp, dtype=img.dtype) - th / 2.0) / th
+    cx = (jnp.arange(Wp, dtype=img.dtype) - tw / 2.0) / tw
+    r0 = jnp.clip(jnp.floor(cy).astype(jnp.int32), 0, gh - 1)
+    c0 = jnp.clip(jnp.floor(cx).astype(jnp.int32), 0, gw - 1)
+    r1 = jnp.clip(r0 + 1, 0, gh - 1)
+    c1 = jnp.clip(c0 + 1, 0, gw - 1)
+    fy = jnp.clip(cy - r0, 0.0, 1.0)[:, None]
+    fx = jnp.clip(cx - c0, 0.0, 1.0)[None, :]
+
+    def look(rr, cc):
+        tid = rr[:, None] * gw + cc[None, :]
+        return lut[tid, b]
+
+    out = (
+        look(r0, c0) * (1 - fy) * (1 - fx)
+        + look(r0, c1) * (1 - fy) * fx
+        + look(r1, c0) * fy * (1 - fx)
+        + look(r1, c1) * fy * fx
+    )
+    return out[:H, :W]

@@ -101,7 +101,11 @@ def process_frame(tc: TrackerConfig, ts: TrackerState, img, t, mean_gyro, R_b2c)
     (integrateImuData, image_processor.cpp:226).
     """
     dtype = img.dtype
-    if tc.equalize:
+    if tc.equalize == "clahe":
+        from .image import clahe
+
+        img = clahe(img)
+    elif tc.equalize:
         img = equalize_hist(img)
     pyr = tuple(build_pyramid(img, tc.pyramid_levels))
     N = tc.capacity

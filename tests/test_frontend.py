@@ -212,3 +212,25 @@ class TestTracker:
         ts2, out = f(ts, img, 0.05)
         ts3, out2 = f(ts2, img, 0.10)
         assert int(jnp.sum(out2.meas_mask)) > 5
+
+
+class TestClahe:
+    def test_improves_local_contrast_and_matches_cv2_roughly(self):
+        import cv2
+
+        from orcvio_tpu.frontend.image import clahe
+
+        rng = np.random.default_rng(12)
+        # low-contrast image with a bright region
+        img = np.array(smooth_texture(160, 200, seed=12) * 0.25 + 60.0)
+        img[40:80, 50:120] += 60
+        out = np.asarray(clahe(jnp.asarray(img, jnp.float32)))
+        assert out.min() >= 0 and out.max() <= 255.5
+        # contrast expanded
+        assert out.std() > 1.5 * img.std()
+        # correlation with cv2's CLAHE
+        ref = cv2.createCLAHE(clipLimit=3.0, tileGridSize=(8, 8)).apply(
+            np.clip(img, 0, 255).astype(np.uint8)
+        )
+        corr = np.corrcoef(out.reshape(-1), ref.reshape(-1).astype(np.float64))[0, 1]
+        assert corr > 0.95, corr
