@@ -82,8 +82,8 @@ class FilterConfig:
 
     @property
     def state_dim(self) -> int:
-        # leg + clones + EKF-SLAM feature states (3d inverse-depth blocks)
-        return self.leg_dim + 6 * self.sw_size + 3 * self.ekf_feature_cap
+        # leg + clones + EKF-SLAM feature states (1d/3d inverse-depth blocks)
+        return self.leg_dim + 6 * self.sw_size + self.feature_idp_dim * self.ekf_feature_cap
 
     def initial_cov_diag(self) -> np.ndarray:
         d = np.zeros(self.state_dim)

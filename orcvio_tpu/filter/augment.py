@@ -188,8 +188,11 @@ def increment_state(cfg: FilterConfig, state: FilterState, dx) -> FilterState:
     # update, orcvio.cpp:1862-1874)
     E = cfg.ekf_feature_cap
     if E:
+        B = cfg.feature_idp_dim
         base = LEG + 6 * sw
-        dfeat = dx[base : base + 3 * E].reshape(E, 3)
+        dfeat = dx[base : base + B * E].reshape(E, B)
+        if B == 1:  # rho-only blocks update idp[:, 2]
+            dfeat = jnp.concatenate([jnp.zeros((E, 2), dfeat.dtype), dfeat], axis=1)
         ft = state.features
         slot = jnp.clip(ft.state_slot, 0, E - 1)
         delta = jnp.where(ft.in_state[:, None], dfeat[slot], 0.0)

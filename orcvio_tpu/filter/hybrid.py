@@ -9,11 +9,16 @@ realization: a fixed capacity of E = cfg.ekf_feature_cap 3-dof blocks after
 the clone blocks; slots are masked, promotion writes covariance blocks in
 place, removal zeroes them.
 
-Round-1 scope (documented deviations): 3d idp only (1d variant round 2);
+Both inverse-depth parametrizations are supported (cfg.feature_idp_dim):
+3d blocks (alpha, beta, rho) and 1d blocks (rho only, with the anchor bearing
+fixed — measurementJacobian_ekf_1didp, orcvio.cpp:1356; both share
+p_ca = (alpha/rho, beta/rho, 1/rho), the 1d H is the rho column and the
+anchor-frame observation is not used). Round-1 scope (documented deviations):
 Schmidt nuisance states not modeled; when a feature's anchor clone is pruned
 the feature is dropped from the state instead of re-anchored
-(updateFeatureCov_3didp, orcvio.cpp:3457). Jacobians use the left/larvio
-clone-error convention, matching the reference's hybrid path.
+(updateFeatureCov_3didp, orcvio.cpp:3457); the feature-free rows of newly
+promoted features are discarded instead of joining the update. Jacobians use
+the left/larvio clone-error convention, matching the reference's hybrid path.
 """
 from __future__ import annotations
 
@@ -30,6 +35,10 @@ from .state import LEG, FilterState
 
 def ekf_base(cfg: FilterConfig) -> int:
     return LEG + 6 * cfg.sw_size
+
+
+def idp_dim(cfg: FilterConfig) -> int:
+    return cfg.feature_idp_dim
 
 
 class EkfRows(NamedTuple):
@@ -91,7 +100,9 @@ def ekf_feature_rows(cfg: FilterConfig, state: FilterState, cur_slot) -> EkfRows
     J_f = J_f.at[:, 1, 2].set(-ft.idp[:, 1] / rho)
     J_f = J_f.at[:, 2, 2].set(-1.0 / rho)
     J_f = J_f / rho[:, None, None]
-    H_f = J_k @ J_p @ J_f  # (F, 2, 3)
+    H_f3 = J_k @ J_p @ J_f  # (F, 2, 3)
+    B = idp_dim(cfg)
+    H_f = H_f3 if B == 3 else H_f3[..., 2:3]  # 1d: rho column (orcvio.cpp:1474)
 
     # clone blocks (left/larvio convention, orcvio.cpp:1327-1336)
     p_baf = p_w - t_ba_w
@@ -107,14 +118,18 @@ def ekf_feature_rows(cfg: FilterConfig, state: FilterState, cur_slot) -> EkfRows
     H_a = J_k @ J_xa  # (F, 2, 6)
     H_x = J_k @ J_xk
 
-    # anchor-frame observation: direct obs of (alpha, beta) (orcvio.cpp:1305)
+    # anchor-frame observation: 3d observes (alpha, beta) directly
+    # (orcvio.cpp:1305); 1d does not use the anchor observation (:1434)
     at_anchor = a == cur_slot
-    H_f_anchor = jnp.zeros((F, 2, 3), dtype).at[:, 0, 0].set(1.0).at[:, 1, 1].set(1.0)
-    r_anchor = z - ft.idp[:, :2]
-    H_f = jnp.where(at_anchor[:, None, None], H_f_anchor, H_f)
-    H_a = jnp.where(at_anchor[:, None, None], 0.0, H_a)
-    H_x = jnp.where(at_anchor[:, None, None], 0.0, H_x)
-    r = jnp.where(at_anchor[:, None], r_anchor, r)
+    if B == 3:
+        H_f_anchor = jnp.zeros((F, 2, 3), dtype).at[:, 0, 0].set(1.0).at[:, 1, 1].set(1.0)
+        r_anchor = z - ft.idp[:, :2]
+        H_f = jnp.where(at_anchor[:, None, None], H_f_anchor, H_f)
+        H_a = jnp.where(at_anchor[:, None, None], 0.0, H_a)
+        H_x = jnp.where(at_anchor[:, None, None], 0.0, H_x)
+        r = jnp.where(at_anchor[:, None], r_anchor, r)
+    else:
+        valid = valid & ~at_anchor
 
     # scatter into full-width rows
     H = jnp.zeros((F, 2, D), dtype)
@@ -125,7 +140,7 @@ def ekf_feature_rows(cfg: FilterConfig, state: FilterState, cur_slot) -> EkfRows
     r_i = jnp.arange(2)[None, :, None]
     H = H.at[f_i, r_i, cols_a].add(H_a)
     slot = jnp.clip(ft.state_slot, 0, max(cfg.ekf_feature_cap - 1, 0))
-    cols_f = (ekf_base(cfg) + 3 * slot)[:, None, None] + jnp.arange(3)[None, None, :]
+    cols_f = (ekf_base(cfg) + B * slot)[:, None, None] + jnp.arange(B)[None, None, :]
     H = H.at[f_i, r_i, cols_f].add(H_f)
 
     H = jnp.where(valid[:, None, None], H, 0.0)
@@ -168,6 +183,7 @@ def promote_features(cfg: FilterConfig, state: FilterState, cand_mask, H_raw, Hf
     E = cfg.ekf_feature_cap
     if E == 0:
         return state
+    B = idp_dim(cfg)
     P_MAX = min(4, E)
     D = state.P.shape[0]
     dtype = state.P.dtype
@@ -194,27 +210,28 @@ def promote_features(cfg: FilterConfig, state: FilterState, cand_mask, H_raw, Hf
         do = ok & have_slot
 
         H1, H2, r1, _, _ = split_projection(Hf_idp_raw[g], H_raw[g], r_raw[g])
-        H2r = H2 + 1e-10 * jnp.eye(3, dtype=dtype)
-        HH = jax.scipy.linalg.solve_triangular(H2r, H1, lower=False)  # (3, D)
+        H2r = H2 + 1e-10 * jnp.eye(B, dtype=dtype)
+        HH = jax.scipy.linalg.solve_triangular(H2r, H1, lower=False)  # (B, D)
         dx_new = jax.scipy.linalg.solve_triangular(H2r, r1 - H1 @ dx, lower=False)
-        H2i = jax.scipy.linalg.solve_triangular(H2r, jnp.eye(3, dtype=dtype), lower=False)
-        P21 = -HH @ st.P  # (3, D)
+        H2i = jax.scipy.linalg.solve_triangular(H2r, jnp.eye(B, dtype=dtype), lower=False)
+        P21 = -HH @ st.P  # (B, D)
         P22 = -P21 @ HH.T + sigma2 * (H2i @ H2i.T)
 
-        c0 = base + 3 * slot
+        c0 = base + B * slot
         P = st.P
-        P = jax.lax.dynamic_update_slice(P, jnp.zeros((3, D), dtype), (c0, 0))
-        P = jax.lax.dynamic_update_slice(P, jnp.zeros((D, 3), dtype), (0, c0))
+        P = jax.lax.dynamic_update_slice(P, jnp.zeros((B, D), dtype), (c0, 0))
+        P = jax.lax.dynamic_update_slice(P, jnp.zeros((D, B), dtype), (0, c0))
         P = jax.lax.dynamic_update_slice(P, P21, (c0, 0))
         P = jax.lax.dynamic_update_slice(P, P21.T, (0, c0))
         P = jax.lax.dynamic_update_slice(P, P22, (c0, c0))
         P = 0.5 * (P + P.T)
 
         ft = st.features
+        didp = jnp.zeros(3, dtype).at[3 - B :].set(dx_new) if B == 1 else dx_new
         ft2 = ft.replace(
             in_state=ft.in_state.at[f].set(True),
             state_slot=ft.state_slot.at[f].set(slot.astype(jnp.int32)),
-            idp=ft.idp.at[f].add(dx_new),
+            idp=ft.idp.at[f].add(didp),
         )
         st2 = st.replace(P=P, features=ft2)
         return jax.tree.map(lambda a_, b_: jnp.where(do, a_, b_), st2, st)
@@ -231,6 +248,7 @@ def remove_state_features(cfg: FilterConfig, state: FilterState, kill_mask):
     E = cfg.ekf_feature_cap
     if E == 0:
         return state
+    B = idp_dim(cfg)
     D = state.P.shape[0]
     base = ekf_base(cfg)
     kill = kill_mask & state.features.in_state
@@ -238,7 +256,7 @@ def remove_state_features(cfg: FilterConfig, state: FilterState, kill_mask):
         jnp.where(kill, jnp.clip(state.features.state_slot, 0, E - 1), E)
     ].set(True, mode="drop")
     colmask = jnp.ones((D,), bool)
-    colmask = colmask.at[base : base + 3 * E].set(~jnp.repeat(slot_killed, 3))
+    colmask = colmask.at[base : base + B * E].set(~jnp.repeat(slot_killed, B))
     P = state.P * (colmask[:, None] & colmask[None, :])
     ft = state.features
     ft = ft.replace(

@@ -191,6 +191,8 @@ def filter_step(cfg: FilterConfig, state: FilterState, frame: FrameInput, chi2_t
         J_f = J_f / rho[:, None, None]
         dpw_didp = R_c2w[a] @ J_f  # (Kc, 3, 3)
         Hf_idp = jnp.einsum("fmi,fij->fmj", fj.Hf_raw, dpw_didp)
+        if cfg.feature_idp_dim == 1:
+            Hf_idp = Hf_idp[..., 2:3]  # rho column only (1d idp)
         # scatter promotion decisions back to table rows
         promote_mask = jnp.zeros((F,), bool).at[
             jnp.where(promote_k, cand_idx, F)

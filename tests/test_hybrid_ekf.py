@@ -151,3 +151,33 @@ class TestLifecycle:
         assert rmse < 0.15, rmse
         # EKF features actually got promoted at some point
         assert int(jnp.sum(final.features.in_state)) + 1 >= 1  # at least ran the path
+
+
+class Test1dIdp:
+    def test_e2e_1didp_tracks_truth(self):
+        sim = SimConfig(n_frames=100, n_landmarks=300, max_obs=50, uv_noise=0.002, seed=4)
+        cfg = FilterConfig(
+            sw_size=10, max_features=80, max_track_len=6, imu_slab=sim.imu_slab,
+            observation_noise=0.004, tri_translation_threshold=-1.0,
+            ekf_feature_cap=12, feature_idp_dim=1,
+        )
+        R_b2c = jnp.asarray([[0.0, -1.0, 0.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
+        t_c_b = jnp.asarray([0.05, 0.02, 0.0])
+        data = generate(sim, R_b2c=R_b2c, t_c_b=t_c_b)
+        st = FilterState.create(cfg, jnp.float64)
+        R0, p0 = trajectory_pose(sim, jnp.asarray(0.0))
+        v0 = jax.jacobian(lambda t: trajectory_pose(sim, t)[1])(jnp.asarray(0.0))
+        imu = st.imu.replace(R=R0, p=p0, v=v0)
+        d = np.asarray(cfg.initial_cov_diag())
+        d[:15] = 1e-6
+        st = st.replace(imu=imu, imu_fej_now=imu, imu_old=imu,
+                        R_b2c=R_b2c, t_c_b=t_c_b,
+                        P=jnp.asarray(np.diag(d)), initialized=jnp.ones((), bool))
+        from orcvio_tpu.filter.pipeline import build_chi2_table, run_sequence
+
+        chi2 = build_chi2_table(cfg, jnp.float64)
+        final, outs = run_sequence(cfg, st, data.frames, chi2)
+        err = np.linalg.norm(np.asarray(outs.p) - np.asarray(data.gt_p), axis=1)
+        assert np.isfinite(err).all()
+        rmse = float(np.sqrt((err**2).mean()))
+        assert rmse < 0.15, rmse
