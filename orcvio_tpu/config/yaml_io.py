@@ -149,6 +149,15 @@ def load_reference_yaml(path: str):
         static_image_num=_get(fs, "static_image_num", 20),
         max_grid_features=_get(fs, "max_features_in_one_grid", 0),
         feature_idp_dim=_get(fs, "feature_idp_dim", 3),
+        # EKF-SLAM capacity: the reference caps in-state features at
+        # max_features_in_one_grid * aug_grid_rows * aug_grid_cols
+        # (orcvio.cpp:2286); we bound the static capacity at 48 blocks
+        ekf_feature_cap=min(
+            _get(fs, "max_features_in_one_grid", 0)
+            * _get(fs, "aug_grid_rows", 5)
+            * _get(fs, "aug_grid_cols", 6),
+            48,
+        ),
     )
     fs.release()
     return cfg, cam, fe
