@@ -31,6 +31,8 @@ class FilterConfig:
     estimate_extrinsic: bool = False  # estimate_extrin
     estimate_td: bool = False  # estimate_td
     if_zupt: bool = False  # if_ZUPT_valid
+    use_schmidt: bool = False  # use_schmidt: keep pruned anchors as nuisance states
+    nuisance_cap: int = 0  # static capacity of Schmidt nuisance clone blocks
 
     # --- noise densities (continuous), config keys noise_gyro etc. ---
     gyro_noise: float = 0.004
@@ -82,8 +84,10 @@ class FilterConfig:
 
     @property
     def state_dim(self) -> int:
-        # leg + clones + EKF-SLAM feature states (1d/3d inverse-depth blocks)
-        return self.leg_dim + 6 * self.sw_size + self.feature_idp_dim * self.ekf_feature_cap
+        # leg + clones + EKF-SLAM feature states (1d/3d idp) + nuisance clones
+        return (self.leg_dim + 6 * self.sw_size
+                + self.feature_idp_dim * self.ekf_feature_cap
+                + 6 * self.nuisance_cap)
 
     def initial_cov_diag(self) -> np.ndarray:
         d = np.zeros(self.state_dim)

@@ -47,10 +47,15 @@ class EkfRows(NamedTuple):
     valid: jnp.ndarray  # (F,)
 
 
-def feature_world_points(state: FilterState):
+def feature_world_points(state: FilterState, cfg: FilterConfig = None):
     """World positions of in-state features from (idp, anchor clone)."""
-    R_c2w, t_c_w = cam_poses(state)
-    a = jnp.clip(state.features.anchor_slot, 0, state.clones.valid.shape[0] - 1)
+    if cfg is not None and cfg.nuisance_cap:
+        R_c2w, t_c_w = extended_cam_poses(cfg, state)
+        hi = R_c2w.shape[0] - 1
+    else:
+        R_c2w, t_c_w = cam_poses(state)
+        hi = state.clones.valid.shape[0] - 1
+    a = jnp.clip(state.features.anchor_slot, 0, hi)
     idp = state.features.idp
     rho = jnp.where(jnp.abs(idp[:, 2]) > 1e-8, idp[:, 2], 1e-8)
     p_ca = jnp.stack([idp[:, 0] / rho, idp[:, 1] / rho, 1.0 / rho], axis=1)
@@ -70,20 +75,22 @@ def ekf_feature_rows(cfg: FilterConfig, state: FilterState, cur_slot) -> EkfRows
     dtype = state.P.dtype
     sw = cfg.sw_size
 
-    valid = ft.in_state & ft.active & ft.uv_valid[:, cur_slot] & state.clones.valid[
-        jnp.clip(ft.anchor_slot, 0, sw - 1)
-    ]
+    N = cfg.nuisance_cap
+    anchor_valid_ext = jnp.concatenate([state.clones.valid, state.nui.valid]) if N else state.clones.valid
+    hi = sw + N - 1 if N else sw - 1
+    a = jnp.clip(ft.anchor_slot, 0, hi)
+    valid = ft.in_state & ft.active & ft.uv_valid[:, cur_slot] & anchor_valid_ext[a]
     z = ft.uv[:, cur_slot]  # (F, 2)
 
-    R_c2w, t_c_w = cam_poses(state)
-    a = jnp.clip(ft.anchor_slot, 0, sw - 1)
-    p_w, p_ca = feature_world_points(state)
+    R_c2w, t_c_w = extended_cam_poses(cfg, state) if N else cam_poses(state)
+    p_w, p_ca = feature_world_points(state, cfg)
 
+    imu_p_ext = jnp.concatenate([state.clones.p, state.nui.p]) if N else state.clones.p
     R_w2ck = R_c2w[cur_slot].T  # (3, 3)
     t_ck_w = t_c_w[cur_slot]
     R_w2ca = jnp.swapaxes(R_c2w[a], -1, -2)  # (F, 3, 3)
     t_bk_w = state.clones.p[cur_slot]
-    t_ba_w = state.clones.p[a]  # (F, 3)
+    t_ba_w = imu_p_ext[a]  # (F, 3)
 
     p_ck = jnp.einsum("ij,fj->fi", R_w2ck, p_w - t_ck_w)  # (F, 3)
     zk = jnp.where(jnp.abs(p_ck[:, 2]) > 1e-6, p_ck[:, 2], 1e-6)
@@ -135,7 +142,9 @@ def ekf_feature_rows(cfg: FilterConfig, state: FilterState, cur_slot) -> EkfRows
     H = jnp.zeros((F, 2, D), dtype)
     cols_k = LEG + 6 * cur_slot + jnp.arange(6)
     H = H.at[:, :, cols_k].add(H_x)
-    cols_a = (LEG + 6 * a)[:, None, None] + jnp.arange(6)[None, None, :]
+    # anchor columns: clone block, or nuisance block for demoted anchors
+    a_col0 = jnp.where(a < sw, LEG + 6 * a, nui_base(cfg) + 6 * (a - sw))
+    cols_a = a_col0[:, None, None] + jnp.arange(6)[None, None, :]
     f_i = jnp.arange(F)[:, None, None]
     r_i = jnp.arange(2)[None, :, None]
     H = H.at[f_i, r_i, cols_a].add(H_a)
@@ -264,3 +273,96 @@ def remove_state_features(cfg: FilterConfig, state: FilterState, kill_mask):
         state_slot=jnp.where(kill, -1, ft.state_slot),
     )
     return state.replace(P=P, features=ft)
+
+
+# ---------------------------------------------------------------------------
+# Schmidt nuisance states (use_schmidt, orcvio.h:167-170)
+# ---------------------------------------------------------------------------
+
+def nui_base(cfg: FilterConfig) -> int:
+    return ekf_base(cfg) + idp_dim(cfg) * cfg.ekf_feature_cap
+
+
+def extended_cam_poses(cfg: FilterConfig, state: FilterState):
+    """Camera poses for clones ++ nuisance clones, indexable by extended
+    anchor slots (anchor >= sw_size refers to nuisance slot anchor - sw)."""
+    R_c2w, t_c_w = cam_poses(state)
+    if cfg.nuisance_cap == 0:
+        return R_c2w, t_c_w
+    R_n = state.nui.R @ state.R_b2c.T
+    t_n = state.nui.p + jnp.einsum("nij,j->ni", state.nui.R, state.t_c_b)
+    return jnp.concatenate([R_c2w, R_n]), jnp.concatenate([t_c_w, t_n])
+
+
+def schmidt_demote(cfg: FilterConfig, state: FilterState, prune_mask):
+    """Move pruned clones with anchored EKF features into nuisance slots.
+
+    Ref: the Schmidt branch of pruneImuStateBuffer (orcvio.cpp:2874-2955
+    moves blocks to the nuisance section instead of deleting). Covariance
+    rows/cols are copied from the clone block to the nuisance block; feature
+    anchor_slot is remapped to sw_size + nui_slot. Falls back to removal when
+    no nuisance slot is free (handled by the caller's removal pass, which
+    runs after this on any still-pruned anchors).
+    """
+    N = cfg.nuisance_cap
+    if N == 0 or not cfg.use_schmidt:
+        return state
+    sw = cfg.sw_size
+    D = state.P.shape[0]
+    nb = nui_base(cfg)
+
+    def body(slot, st):
+        ft = st.features
+        has_anchor = jnp.any(ft.in_state & (ft.anchor_slot == slot))
+        do = prune_mask[slot] & has_anchor & st.clones.valid[slot]
+        free = ~st.nui.valid
+        n_slot = jnp.argmax(free)
+        do = do & free[n_slot]
+
+        c0 = LEG + 6 * slot
+        n0 = nb + 6 * n_slot
+        P = st.P
+        rows = jax.lax.dynamic_slice(P, (c0, 0), (6, D))
+        P = jax.lax.dynamic_update_slice(P, rows, (n0, 0))
+        cols = jax.lax.dynamic_slice(P, (0, c0), (D, 6))
+        P = jax.lax.dynamic_update_slice(P, cols, (0, n0))
+        blk = jax.lax.dynamic_slice(st.P, (c0, c0), (6, 6))
+        P = jax.lax.dynamic_update_slice(P, blk, (n0, n0))
+        # zero stale cross between the new nuisance block and the old clone cols
+        P = jax.lax.dynamic_update_slice(P, jnp.zeros((6, 6), P.dtype), (n0, c0))
+        P = jax.lax.dynamic_update_slice(P, jnp.zeros((6, 6), P.dtype), (c0, n0))
+
+        nui = st.nui.replace(
+            R=st.nui.R.at[n_slot].set(st.clones.R[slot]),
+            p=st.nui.p.at[n_slot].set(st.clones.p[slot]),
+            t=st.nui.t.at[n_slot].set(st.clones.t[slot]),
+            valid=st.nui.valid.at[n_slot].set(True),
+        )
+        remap = ft.in_state & (ft.anchor_slot == slot)
+        ft2 = ft.replace(
+            anchor_slot=jnp.where(remap, sw + n_slot, ft.anchor_slot).astype(jnp.int32)
+        )
+        st2 = st.replace(P=P, nui=nui, features=ft2)
+        return jax.tree.map(lambda a_, b_: jnp.where(do, a_, b_), st2, st)
+
+    return jax.lax.fori_loop(0, sw, body, state)
+
+
+def retire_nuisance(cfg: FilterConfig, state: FilterState):
+    """Free nuisance slots with no anchored features (rmUselessNuisanceState,
+    orcvio.cpp:4421): zero their covariance blocks + invalidate."""
+    N = cfg.nuisance_cap
+    if N == 0:
+        return state
+    sw = cfg.sw_size
+    ft = state.features
+    anchored = jnp.zeros((N,), bool).at[
+        jnp.where(ft.in_state & (ft.anchor_slot >= sw), jnp.clip(ft.anchor_slot - sw, 0, N - 1), N)
+    ].set(True, mode="drop")
+    kill = state.nui.valid & ~anchored
+    D = state.P.shape[0]
+    nb = nui_base(cfg)
+    colmask = jnp.ones((D,), bool)
+    colmask = colmask.at[nb : nb + 6 * N].set(~jnp.repeat(kill, 6))
+    P = state.P * (colmask[:, None] & colmask[None, :])
+    return state.replace(P=P, nui=state.nui.replace(valid=state.nui.valid & ~kill))

@@ -105,12 +105,23 @@ def filter_step(cfg: FilterConfig, state: FilterState, frame: FrameInput, chi2_t
         # (rmLostFeaturesCov, orcvio.cpp:3776; anchor re-anchoring replaced by
         # removal — documented deviation)
         ft = state.features
-        anchor_ok = (ft.anchor_slot >= 0) & state.clones.valid[
-            jnp.clip(ft.anchor_slot, 0, cfg.sw_size - 1)
-        ]
+        sw = cfg.sw_size
+        if cfg.nuisance_cap:
+            valid_ext = jnp.concatenate([state.clones.valid, state.nui.valid])
+            anchor_ok = (ft.anchor_slot >= 0) & valid_ext[
+                jnp.clip(ft.anchor_slot, 0, sw + cfg.nuisance_cap - 1)
+            ]
+        else:
+            anchor_ok = (ft.anchor_slot >= 0) & state.clones.valid[
+                jnp.clip(ft.anchor_slot, 0, sw - 1)
+            ]
         kill_state = ft.in_state & (~ft.active | ~anchor_ok)
         state = remove_state_features(cfg, state, kill_state)
         state = state.replace(features=feat.free_rows(state.features, kill_state))
+        if cfg.use_schmidt and cfg.nuisance_cap:
+            from .hybrid import retire_nuisance
+
+            state = retire_nuisance(cfg, state)
 
     live = state.features.fid >= 0
     active = state.features.active
@@ -222,8 +233,18 @@ def filter_step(cfg: FilterConfig, state: FilterState, frame: FrameInput, chi2_t
     if E:
         from .hybrid import remove_state_features as _rm
 
+        if cfg.use_schmidt and cfg.nuisance_cap:
+            # Schmidt: demote pruned anchors to nuisance slots first; any
+            # anchors that could not demote (no free slot) fall through to
+            # removal below
+            from .hybrid import schmidt_demote
+
+            state = schmidt_demote(cfg, state, prune_mask)
         ft = state.features
-        anchor_pruned = ft.in_state & prune_mask[jnp.clip(ft.anchor_slot, 0, cfg.sw_size - 1)]
+        in_window = ft.anchor_slot < cfg.sw_size
+        anchor_pruned = ft.in_state & in_window & prune_mask[
+            jnp.clip(ft.anchor_slot, 0, cfg.sw_size - 1)
+        ]
         state = _rm(cfg, state, anchor_pruned)
         state = state.replace(features=feat.free_rows(state.features, anchor_pruned))
     state = prune_clones(state, prune_mask)

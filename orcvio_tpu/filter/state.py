@@ -110,6 +110,29 @@ class FeatureTable(struct.PyTreeNode):
         )
 
 
+class NuiClones(struct.PyTreeNode):
+    """Schmidt nuisance clone states (nui_imu_states, orcvio.h:167-170).
+
+    Means are frozen; covariance blocks live after the EKF feature blocks.
+    """
+
+    R: jnp.ndarray  # (N, 3, 3)
+    p: jnp.ndarray  # (N, 3)
+    t: jnp.ndarray  # (N,)
+    valid: jnp.ndarray  # (N,)
+
+    @classmethod
+    def empty(cls, n: int, dtype=jnp.float32):
+        # at least one (masked) row: zero-size leaves break orbax checkpoints
+        m = max(n, 1)
+        return cls(
+            R=jnp.tile(jnp.eye(3, dtype=dtype), (m, 1, 1)),
+            p=jnp.zeros((m, 3), dtype),
+            t=jnp.zeros((m,), dtype),
+            valid=jnp.zeros((m,), bool),
+        )
+
+
 class FilterState(struct.PyTreeNode):
     """The complete filter state pytree (StateServer equivalent)."""
 
@@ -128,6 +151,7 @@ class FilterState(struct.PyTreeNode):
     initialized: jnp.ndarray  # bool — static/dynamic init done
     last_gyro: jnp.ndarray  # (3,) last raw gyro (m_gyro_old, orcvio.cpp:703)
     last_acc: jnp.ndarray  # (3,) last raw acc
+    nui: "NuiClones"  # Schmidt nuisance clones (empty when nuisance_cap = 0)
 
     @classmethod
     def create(cls, cfg: FilterConfig, dtype=jnp.float32):
@@ -150,6 +174,7 @@ class FilterState(struct.PyTreeNode):
             initialized=jnp.zeros((), bool),
             last_gyro=jnp.zeros(3, dtype),
             last_acc=jnp.zeros(3, dtype),
+            nui=NuiClones.empty(cfg.nuisance_cap, dtype),
         )
 
 

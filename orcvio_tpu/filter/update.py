@@ -159,10 +159,22 @@ def apply_ekf_update(cfg: FilterConfig, state: FilterState, H, r):
     chol = jax.scipy.linalg.cho_factor(S, lower=True)
     K_T = jax.scipy.linalg.cho_solve(chol, H_thin @ state.P)
     K = K_T.T
+    schmidt = cfg.use_schmidt and cfg.nuisance_cap > 0
+    if schmidt:
+        # Schmidt gain: nuisance rows get no correction (orcvio.cpp:1741-1756
+        # restores the nuisance block; textbook Schmidt zeroes K_n, which
+        # keeps P_nn frozen and updates the cross-covariance consistently)
+        nb = D - 6 * cfg.nuisance_cap
+        K = K.at[nb:].set(0.0)
     dx = K @ r_thin
     state = increment_state(cfg, state, dx)
     I_KH = jnp.eye(D, dtype=state.P.dtype) - K @ H_thin
     P = I_KH @ state.P
+    if schmidt:
+        nb = D - 6 * cfg.nuisance_cap
+        # nuisance rows kept old P_na; mirror the updated active-nuisance
+        # cross block for exact symmetry
+        P = P.at[nb:, :nb].set(P[:nb, nb:].T)
     P = 0.5 * (P + P.T)
     return state.replace(P=P), dx
 

@@ -181,3 +181,91 @@ class Test1dIdp:
         assert np.isfinite(err).all()
         rmse = float(np.sqrt((err**2).mean()))
         assert rmse < 0.15, rmse
+
+
+class TestSchmidt:
+    def make_cfg(self):
+        return FilterConfig(sw_size=6, max_features=8, ekf_feature_cap=4,
+                            use_schmidt=True, nuisance_cap=3)
+
+    def test_demote_moves_blocks_and_remaps(self):
+        from orcvio_tpu.filter.hybrid import nui_base, schmidt_demote
+
+        cfg = self.make_cfg()
+        st, _ = build_state_with_ekf_feature(cfg)
+        st = st.replace(P=jnp.asarray(np.diag(np.arange(1.0, cfg.state_dim + 1))))
+        # prune the anchor slot (1)
+        pm = jnp.zeros(cfg.sw_size, bool).at[1].set(True)
+        st2 = schmidt_demote(cfg, st, pm)
+        assert bool(st2.nui.valid[0])
+        assert int(st2.features.anchor_slot[0]) == cfg.sw_size + 0
+        c0 = LEG + 6 * 1
+        n0 = nui_base(cfg)
+        # the clone diag block moved to the nuisance block
+        assert np.allclose(np.asarray(st2.P[n0:n0+6, n0:n0+6]),
+                           np.asarray(st.P[c0:c0+6, c0:c0+6]))
+        assert np.allclose(np.asarray(st2.nui.p[0]), np.asarray(st.clones.p[1]))
+
+    def test_nuisance_rows_h_matches_active_case(self):
+        from orcvio_tpu.filter.hybrid import ekf_feature_rows, nui_base, schmidt_demote
+
+        cfg = self.make_cfg()
+        st, _ = build_state_with_ekf_feature(cfg)
+        er_active = ekf_feature_rows(cfg, st, jnp.asarray(3))
+        pm = jnp.zeros(cfg.sw_size, bool).at[1].set(True)
+        st2 = schmidt_demote(cfg, st, pm)
+        er_nui = ekf_feature_rows(cfg, st2, jnp.asarray(3))
+        assert bool(er_nui.valid[0])
+        H_a_active = np.asarray(er_active.H[0][:, LEG + 6 * 1 : LEG + 6 * 2])
+        n0 = nui_base(cfg)
+        H_a_nui = np.asarray(er_nui.H[0][:, n0 : n0 + 6])
+        assert np.allclose(H_a_active, H_a_nui, atol=1e-12)
+        assert np.allclose(np.asarray(er_active.r[0]), np.asarray(er_nui.r[0]), atol=1e-12)
+
+    def test_schmidt_update_freezes_nuisance_block(self):
+        from orcvio_tpu.filter.hybrid import nui_base, schmidt_demote
+        from orcvio_tpu.filter.update import apply_ekf_update
+
+        cfg = self.make_cfg()
+        st, _ = build_state_with_ekf_feature(cfg)
+        st = st.replace(P=jnp.eye(cfg.state_dim, dtype=jnp.float64) * 1e-2)
+        pm = jnp.zeros(cfg.sw_size, bool).at[1].set(True)
+        st = schmidt_demote(cfg, st, pm)
+        n0 = nui_base(cfg)
+        P_nn_before = np.asarray(st.P[n0:n0+6, n0:n0+6])
+        rng = np.random.default_rng(0)
+        H = jnp.asarray(rng.normal(size=(8, cfg.state_dim)) * 0.5)
+        r = jnp.asarray(rng.normal(size=8) * 0.01)
+        st2, dx = apply_ekf_update(cfg, st, H, r)
+        # nuisance block frozen; symmetric; nuisance mean increments inert
+        assert np.allclose(np.asarray(st2.P[n0:n0+6, n0:n0+6]), P_nn_before, atol=1e-12)
+        assert np.allclose(np.asarray(st2.P), np.asarray(st2.P).T, atol=1e-12)
+        assert np.allclose(np.asarray(st2.nui.p[0]), np.asarray(st.nui.p[0]))
+        # active block did update
+        assert not np.allclose(np.asarray(st2.P[:LEG, :LEG]), np.asarray(st.P[:LEG, :LEG]))
+
+    def test_e2e_schmidt_tracks_truth(self):
+        sim = SimConfig(n_frames=120, n_landmarks=300, max_obs=50, uv_noise=0.002, seed=5)
+        cfg = FilterConfig(
+            sw_size=10, max_features=80, max_track_len=6, imu_slab=sim.imu_slab,
+            observation_noise=0.004, tri_translation_threshold=-1.0,
+            ekf_feature_cap=12, use_schmidt=True, nuisance_cap=6,
+        )
+        R_b2c = jnp.asarray([[0.0, -1.0, 0.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
+        t_c_b = jnp.asarray([0.05, 0.02, 0.0])
+        data = generate(sim, R_b2c=R_b2c, t_c_b=t_c_b)
+        st = FilterState.create(cfg, jnp.float64)
+        R0, p0 = trajectory_pose(sim, jnp.asarray(0.0))
+        v0 = jax.jacobian(lambda t: trajectory_pose(sim, t)[1])(jnp.asarray(0.0))
+        imu = st.imu.replace(R=R0, p=p0, v=v0)
+        d = np.asarray(cfg.initial_cov_diag())
+        d[:15] = 1e-6
+        st = st.replace(imu=imu, imu_fej_now=imu, imu_old=imu,
+                        R_b2c=R_b2c, t_c_b=t_c_b,
+                        P=jnp.asarray(np.diag(d)), initialized=jnp.ones((), bool))
+        chi2 = build_chi2_table(cfg, jnp.float64)
+        final, outs = run_sequence(cfg, st, data.frames, chi2)
+        err = np.linalg.norm(np.asarray(outs.p) - np.asarray(data.gt_p), axis=1)
+        assert np.isfinite(err).all()
+        rmse = float(np.sqrt((err**2).mean()))
+        assert rmse < 0.15, rmse
