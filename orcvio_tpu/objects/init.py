@@ -136,3 +136,40 @@ def object_initialization(
     if estimate_se2:
         wTq = se3.pose_se3_to_se2(wTq)
     return wTq, enough & ok, kps_w, kps_valid
+
+
+def object_initialization_lite(zb_first, R_GtoA, p_AinG, mean_shape,
+                               bbox_scale=(1.0, 1.0, 1.0), estimate_se2=False):
+    """Bbox-only object init from the first observation.
+
+    Ref: single_object_initialization_lite (ObjectFeatureInitializer.cpp:497):
+    assume identity object rotation; the depth d along the bbox-center ray is
+    set so the mean-shape ellipsoid's projected extent matches the bbox edge
+    lines; wPq = d B^{-1} b - camera center, with B = R_GtoA.
+
+    zb_first: (4,) normalized bbox of the first frame; R_GtoA/p_AinG: first
+    camera pose. Returns (wTq (4, 4), ok).
+    """
+    from . import residuals as RS
+
+    dtype = zb_first.dtype
+    vv = (mean_shape * jnp.asarray(bbox_scale, dtype)) ** 2
+    A = jnp.diag(vv)  # wRq = I
+    B = R_GtoA  # K = I (normalized coordinates)
+    lines = RS.bbox_lines(zb_first[None])[0]  # (4, 3)
+    line_sum = jnp.einsum("ni,nj->ij", lines, lines)
+    denominator = jnp.einsum("ni,ij,jk,kl,nl->", lines, B, A, B.T, lines)
+    E = B.T @ line_sum @ B / jnp.maximum(denominator, 1e-12)
+    center = jnp.asarray(
+        [(zb_first[0] + zb_first[2]) / 2, (zb_first[1] + zb_first[3]) / 2, 1.0], dtype
+    )
+    Binv = jnp.linalg.inv(B)
+    q = center @ Binv.T @ E @ Binv @ center
+    d = 1.0 / jnp.sqrt(jnp.maximum(q, 1e-12))
+    cPw = -R_GtoA @ p_AinG
+    wPq = d * Binv @ center - R_GtoA.T @ cPw
+    wTq = jnp.eye(4, dtype=dtype).at[:3, 3].set(wPq)
+    if estimate_se2:
+        wTq = se3.pose_se3_to_se2(wTq)
+    ok = jnp.all(jnp.isfinite(wPq)) & (q > 1e-12)
+    return wTq, ok

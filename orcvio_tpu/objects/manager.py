@@ -19,7 +19,7 @@ from flax import struct
 
 from ..config.core import FilterConfig
 from ..math import se3
-from .init import object_initialization
+from .init import object_initialization, object_initialization_lite
 from .kf import Kf4State, kf4_create, kf4_position, kf4_step
 from .lm import ObjectLMConfig, ObjectLMData, ObjectLMState, export_for_update, optimize
 
@@ -209,12 +209,22 @@ def finalize_object(
 
     R_c2w = wTc[:, :3, :3]
     t_c_w = wTc[:, :3, 3]
-    wTq, init_ok, kps_w, kps_valid = object_initialization(
-        cfg, zs, zs_m, R_c2w, t_c_w, kps_mean, use_ransac=use_ransac
-    )
-    # orthonormalize the (scaled) Kabsch linear part for the manifold state
-    U, _, Vt = jnp.linalg.svd(wTq[:3, :3])
-    wTo0 = se3.make_pose(U @ Vt, wTq[:3, 3])
+    if lmc.lite:
+        # bbox-only init from the first valid bbox observation
+        # (single_object_initialization_lite, ObjectFeatureInitializer.cpp:497)
+        first = jnp.argmax(zb_m)
+        cTw_f = se3.inverse_pose(wTc[first])
+        wTo0, init_ok = object_initialization_lite(
+            zb[first], cTw_f[:3, :3], wTc[first, :3, 3], shape_mean
+        )
+        init_ok = init_ok & jnp.any(zb_m)
+    else:
+        wTq, init_ok, kps_w, kps_valid = object_initialization(
+            cfg, zs, zs_m, R_c2w, t_c_w, kps_mean, use_ransac=use_ransac
+        )
+        # orthonormalize the (scaled) Kabsch linear part for the manifold state
+        U, _, Vt = jnp.linalg.svd(wTq[:3, :3])
+        wTo0 = se3.make_pose(U @ Vt, wTq[:3, 3])
 
     st0 = ObjectLMState(wTo=wTo0, shape=shape_mean, kps=kps_mean)
     data = ObjectLMData(

@@ -188,3 +188,29 @@ class TestManagerPipeline:
         row = int(np.argmax(np.asarray(table.oid) == 3))
         assert int(table.n[row]) == 10
         assert bool(jnp.all(jnp.isfinite(table.zs[row])))
+
+
+class TestLiteInit:
+    def test_bbox_only_init_recovers_position(self):
+        from orcvio_tpu.objects.init import object_initialization_lite
+
+        # GT object at known position, identity rotation; camera at origin
+        shape = jnp.asarray([1.5, 0.9, 0.7])
+        wPq_gt = jnp.asarray([0.8, -0.4, 9.0])
+        wTo = jnp.eye(4).at[:3, 3].set(wPq_gt)
+        cTw = jnp.eye(4)
+        Qi = RS.ellipse_from_shape(shape)
+        P_o = (cTw[:3, :] @ wTo)[None]
+        C = jnp.einsum("tij,jk,tlk->til", P_o, Qi, P_o)[0]
+        sx = jnp.sqrt(C[0, 2] ** 2 - C[2, 2] * C[0, 0]) / jnp.abs(C[2, 2])
+        sy = jnp.sqrt(C[1, 2] ** 2 - C[2, 2] * C[1, 1]) / jnp.abs(C[2, 2])
+        cx = C[0, 2] / C[2, 2]
+        cy = C[1, 2] / C[2, 2]
+        zb = jnp.asarray([cx - sx, cy - sy, cx + sx, cy + sy])
+        R_GtoA = jnp.eye(3)
+        p_AinG = jnp.zeros(3)
+        wTq, ok = object_initialization_lite(zb, R_GtoA, p_AinG, shape)
+        assert bool(ok)
+        err = float(jnp.linalg.norm(wTq[:3, 3] - wPq_gt))
+        # bbox-only depth from the ellipsoid extent: coarse but in the ballpark
+        assert err < 0.2 * float(jnp.linalg.norm(wPq_gt)), err
