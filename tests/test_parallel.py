@@ -108,3 +108,24 @@ class TestFeatureParallel:
         st_c, dx_c = fn(st, ct, tri.p_world, use)
         assert np.allclose(np.asarray(dx_c), np.asarray(dx_b), atol=1e-8)
         assert np.allclose(np.asarray(st_c.P), np.asarray(st_b.P), atol=1e-8)
+
+
+class TestVmapBatchEval:
+    def test_vmap_matches_serial(self):
+        """vmapped multi-sequence run gives the same metrics as serial runs."""
+        from orcvio_tpu.config.core import FilterConfig
+        from orcvio_tpu.dataio.synthetic import SimConfig
+        from orcvio_tpu.eval.batch import run_synthetic_batch_vmap, run_synthetic_case
+
+        base = dict(sw_size=8, max_features=60, max_track_len=4, imu_slab=12,
+                    observation_noise=0.004, tri_translation_threshold=-1.0)
+        cfg = FilterConfig(**base)
+        sim_kw = dict(n_frames=40, n_landmarks=200, max_obs=40, imu_slab=12, uv_noise=0.002)
+        sims = [SimConfig(**{**sim_kw, "seed": s}) for s in (3, 4)]
+        batched = run_synthetic_batch_vmap(cfg, sims)
+        for sim, got in zip(sims, batched):
+            ref = run_synthetic_case(cfg, sim)
+            assert got["rmse_pos_m"] == pytest.approx(ref["rmse_pos_m"], rel=1e-3, abs=1e-5), (
+                sim.seed, got, ref)
+            assert got["updates"] == ref["updates"], sim.seed
+            assert got["rmse_pos_m"] < 0.3
