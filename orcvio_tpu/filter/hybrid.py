@@ -13,10 +13,11 @@ Both inverse-depth parametrizations are supported (cfg.feature_idp_dim):
 3d blocks (alpha, beta, rho) and 1d blocks (rho only, with the anchor bearing
 fixed — measurementJacobian_ekf_1didp, orcvio.cpp:1356; both share
 p_ca = (alpha/rho, beta/rho, 1/rho), the 1d H is the rho column and the
-anchor-frame observation is not used). Round-1 scope (documented deviations):
-Schmidt nuisance states not modeled; when a feature's anchor clone is pruned
-the feature is dropped from the state instead of re-anchored
-(updateFeatureCov_3didp, orcvio.cpp:3457); the feature-free rows of newly
+anchor-frame observation is not used). Anchor changes on prune are handled by
+``reanchor_features`` (covariance via the exact autodiff re-parametrization
+Jacobian — the reference's hand-written updateFeatureCov_3didp,
+orcvio.cpp:3457, is buggy: it reads the OLD pose for the "new" camera).
+Remaining documented deviation: the feature-free rows of newly
 promoted features are discarded instead of joining the update. Jacobians use
 the left/larvio clone-error convention, matching the reference's hybrid path.
 """
@@ -366,3 +367,113 @@ def retire_nuisance(cfg: FilterConfig, state: FilterState):
     colmask = colmask.at[nb : nb + 6 * N].set(~jnp.repeat(kill, 6))
     P = state.P * (colmask[:, None] & colmask[None, :])
     return state.replace(P=P, nui=state.nui.replace(valid=state.nui.valid & ~kill))
+
+
+def reanchor_features(cfg: FilterConfig, state: FilterState, prune_mask, cur_slot):
+    """Re-anchor in-state features whose anchor clone is being pruned.
+
+    Ref: the anchor-change branch of pruneImuStateBuffer (orcvio.cpp:2666-2725)
+    + updateFeatureCov_3didp/_1didp (:3457/:3611). The new anchor is the
+    current (newest) clone; the feature mean is re-parametrized
+    (idp_new from p_w and the new anchor camera) and the covariance block is
+    transformed by the Jacobian of that re-parametrization wrt
+    [idp_old, old-anchor clone error, new-anchor clone error, extrinsic].
+    The Jacobian is taken by forward-mode autodiff of the exact transform at
+    zero perturbation (the reference's hand-written version looks up the OLD
+    pose for the "new" camera — orcvio.cpp:3487 — collapsing the clone terms;
+    we compute the correct one). Features whose re-anchoring is degenerate
+    (non-positive/near-zero new depth) are left untouched so the caller's
+    removal pass drops them.
+    """
+    E = cfg.ekf_feature_cap
+    if E == 0:
+        return state
+    B = idp_dim(cfg)
+    sw = cfg.sw_size
+    D = state.P.shape[0]
+    dtype = state.P.dtype
+    ft = state.features
+    F = ft.fid.shape[0]
+    base = ekf_base(cfg)
+
+    in_window = (ft.anchor_slot >= 0) & (ft.anchor_slot < sw)
+    a = jnp.clip(ft.anchor_slot, 0, sw - 1)
+    need = ft.in_state & in_window & prune_mask[a] & (a != cur_slot)
+    if_any = jnp.any(need)
+
+    R_b2c = state.R_b2c
+    t_c_b = state.t_c_b
+    Ra = state.clones.R[a]  # (F, 3, 3)
+    pa = state.clones.p[a]  # (F, 3)
+    Rk = state.clones.R[cur_slot]
+    pk = state.clones.p[cur_slot]
+
+    def g(delta, idp, Ra_f, pa_f):
+        # perturbation conventions match ekf_feature_rows / measurement_jacobians:
+        # clone: R <- exp(dth) R, p <- p + dp; extrinsic: R_b2c <- R_b2c exp(-dth_e)
+        dth_a, dp_a = delta[3:6], delta[6:9]
+        dth_k, dp_k = delta[9:12], delta[12:15]
+        dth_e, dt_e = delta[15:18], delta[18:21]
+        idp_p = idp + delta[:3]
+        Rbc = R_b2c @ so3.exp(-dth_e)
+        tcb = t_c_b + dt_e
+        Ra_p = so3.exp(dth_a) @ Ra_f
+        Rk_p = so3.exp(dth_k) @ Rk
+        rho = jnp.where(jnp.abs(idp_p[2]) > 1e-8, idp_p[2], 1e-8)
+        p_ca = jnp.stack([idp_p[0] / rho, idp_p[1] / rho, 1.0 / rho])
+        p_w = Ra_p @ (Rbc.T @ p_ca + tcb) + pa_f + dp_a
+        p_ck = Rbc @ (Rk_p.T @ (p_w - pk - dp_k) - tcb)
+        z = jnp.where(jnp.abs(p_ck[2]) > 1e-6, p_ck[2], 1e-6)
+        return jnp.stack([p_ck[0] / z, p_ck[1] / z, 1.0 / z]), p_ck[2]
+
+    def per_feature(idp, Ra_f, pa_f):
+        zero = jnp.zeros(21, dtype)
+        (idp_new, depth), _ = jax.jvp(lambda d: g(d, idp, Ra_f, pa_f), (zero,), (zero,))
+        J = jax.jacfwd(lambda d: g(d, idp, Ra_f, pa_f)[0])(zero)  # (3, 21)
+        return idp_new, depth, J
+
+    idp_new, depth, J = jax.vmap(per_feature)(ft.idp, Ra, pa)
+    ok = need & (depth > 1e-3) & jnp.all(jnp.isfinite(idp_new), axis=1) \
+        & jnp.all(jnp.isfinite(J.reshape(F, -1)), axis=1)
+
+    if B == 1:
+        J = J[:, 2:3, :]  # rho row only
+        J_idp = J[:, :, 2:3]  # d rho_new / d rho_old
+    else:
+        J_idp = J[:, :, :3]
+
+    # build the replacement rows R_f (F, B, D) of the global transform
+    slot = jnp.clip(ft.state_slot, 0, E - 1)
+    row0 = base + B * slot  # (F,)
+    f_i = jnp.arange(F)[:, None, None]
+    r_i = jnp.arange(B)[None, :, None]
+    rows = jnp.zeros((F, B, D), dtype)
+    cols_own = row0[:, None, None] + jnp.arange(B)[None, None, :]
+    rows = rows.at[f_i, r_i, cols_own].add(J_idp)
+    cols_a = (LEG + 6 * a)[:, None, None] + jnp.arange(6)[None, None, :]
+    rows = rows.at[f_i, r_i, cols_a].add(J[:, :, 3:9])
+    cols_k = LEG + 6 * cur_slot + jnp.arange(6)
+    rows = rows.at[:, :, cols_k].add(J[:, :, 9:15])
+    rows = rows.at[:, :, 15:21].add(J[:, :, 15:21])
+    # identity fallback rows for in-state features not re-anchoring
+    ident = jnp.zeros((F, B, D), dtype).at[f_i, r_i, cols_own].set(1.0)
+    rows = jnp.where(ok[:, None, None], rows, ident)
+
+    # apply P' rows/cols for the feature blocks: A = R P; block = A R^T
+    flat_rows = rows.reshape(F * B, D)
+    A = flat_rows @ state.P  # (FB, D)
+    blk = A @ flat_rows.T  # (FB, FB)
+    idx = jnp.where(ft.in_state[:, None],
+                    row0[:, None] + jnp.arange(B)[None, :], D).reshape(-1)
+    P = state.P.at[idx, :].set(A, mode="drop")
+    P = P.at[:, idx].set(A.T, mode="drop")
+    P = P.at[idx[:, None], idx[None, :]].set(blk, mode="drop")
+    P = 0.5 * (P + P.T)
+
+    new_idp = jnp.where(ok[:, None], idp_new, ft.idp)
+    ft2 = ft.replace(
+        idp=new_idp,
+        anchor_slot=jnp.where(ok, cur_slot, ft.anchor_slot).astype(jnp.int32),
+    )
+    st2 = state.replace(P=P, features=ft2)
+    return jax.tree.map(lambda x, y: jnp.where(if_any, x, y), st2, state)

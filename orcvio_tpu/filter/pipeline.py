@@ -102,8 +102,8 @@ def filter_step(cfg: FilterConfig, state: FilterState, frame: FrameInput, chi2_t
         from .hybrid import remove_state_features
 
         # drop in-state features that lost track or whose anchor died
-        # (rmLostFeaturesCov, orcvio.cpp:3776; anchor re-anchoring replaced by
-        # removal — documented deviation)
+        # (rmLostFeaturesCov, orcvio.cpp:3776); anchor changes on PRUNE are
+        # re-anchored later in step 8 (reanchor_features)
         ft = state.features
         sw = cfg.sw_size
         if cfg.nuisance_cap:
@@ -240,6 +240,13 @@ def filter_step(cfg: FilterConfig, state: FilterState, frame: FrameInput, chi2_t
             from .hybrid import schmidt_demote
 
             state = schmidt_demote(cfg, state, prune_mask)
+        # re-anchor surviving features to the current clone (anchor-change
+        # branch of pruneImuStateBuffer, orcvio.cpp:2666; covariance via
+        # updateFeatureCov_3didp/_1didp); degenerate ones fall through to
+        # removal below
+        from .hybrid import reanchor_features
+
+        state = reanchor_features(cfg, state, prune_mask, cur_slot)
         ft = state.features
         in_window = ft.anchor_slot < cfg.sw_size
         anchor_pruned = ft.in_state & in_window & prune_mask[
