@@ -160,7 +160,6 @@ def filter_step(cfg: FilterConfig, state: FilterState, frame: FrameInput, chi2_t
     too_long_k = too_long[cand_idx]
 
     if E:
-        from .augment import cam_poses as _cam_poses
         from .hybrid import ekf_feature_rows, promote_features
 
         # choose promotions: tracked-too-long, valid triangulation, free slots
@@ -170,27 +169,9 @@ def filter_step(cfg: FilterConfig, state: FilterState, frame: FrameInput, chi2_t
         n_free = E - jnp.sum(in_state)
         rank = jnp.cumsum(cand_k) - 1
         promote_k = cand_k & (rank < jnp.minimum(4, n_free))
-        use_upd = use_k & ~promote_k
 
-        # stacked update: compacted msckf rows + tracked in-state feature rows
-        D = state.P.shape[0]
-        M = fj.H.shape[1]
-        Hm = jnp.where(use_upd[:, None, None], fj.H, 0.0).reshape(Kc * M, D)
-        rm = jnp.where(use_upd[:, None], fj.r, 0.0).reshape(Kc * M)
-        er = ekf_feature_rows(cfg, state, cur_slot)
-        _, etop = jax.lax.top_k(er.valid.astype(fj.H.dtype), min(E, er.valid.shape[0]))
-        ev = er.valid[etop]
-        He = jnp.where(ev[:, None, None], er.H[etop], 0.0).reshape(-1, D)
-        re = jnp.where(ev[:, None], er.r[etop], 0.0).reshape(-1)
-        from .update import apply_ekf_update
-
-        state, dx = apply_ekf_update(
-            cfg, state, jnp.concatenate([Hm, He]), jnp.concatenate([rm, re])
-        )
-
-        # initialize promoted feature blocks (post-update P and dx, as the
-        # reference's measurementUpdate_hybrid does)
-        R_c2w, t_c_w = _cam_poses(state)
+        # idp-parametrized feature Jacobian at the PRE-update linearization
+        # (featureJacobian_ekf_new, orcvio.cpp:1481)
         inv_k = tri.inv_param  # already gathered (Kc,)
         a = jnp.clip(tri.anchor_slot, 0, cfg.sw_size - 1)
         rho = jnp.where(jnp.abs(inv_k[:, 2]) > 1e-8, inv_k[:, 2], 1e-8)
@@ -204,6 +185,34 @@ def filter_step(cfg: FilterConfig, state: FilterState, frame: FrameInput, chi2_t
         Hf_idp = jnp.einsum("fmi,fij->fmj", fj.Hf_raw, dpw_didp)
         if cfg.feature_idp_dim == 1:
             Hf_idp = Hf_idp[..., 2:3]  # rho column only (1d idp)
+
+        # stacked update: compacted msckf rows + tracked in-state feature
+        # rows; promoted features contribute their FEATURE-FREE rows (the
+        # bottom of the H_f QR split — measurementUpdate_hybrid,
+        # orcvio.cpp:1766 stacks Ho of the to-be-initialized features)
+        from .hybrid import split_projection
+
+        D = state.P.shape[0]
+        M = fj.H.shape[1]
+        _, _, _, Ho_k, ro_k = jax.vmap(split_projection)(Hf_idp, fj.H_raw, fj.r_raw)
+        Hm_rows = jnp.where(promote_k[:, None, None], Ho_k, fj.H)
+        rm_rows = jnp.where(promote_k[:, None], ro_k, fj.r)
+        Hm = jnp.where(use_k[:, None, None], Hm_rows, 0.0).reshape(Kc * M, D)
+        rm = jnp.where(use_k[:, None], rm_rows, 0.0).reshape(Kc * M)
+        er = ekf_feature_rows(cfg, state, cur_slot)
+        _, etop = jax.lax.top_k(er.valid.astype(fj.H.dtype), min(E, er.valid.shape[0]))
+        ev = er.valid[etop]
+        He = jnp.where(ev[:, None, None], er.H[etop], 0.0).reshape(-1, D)
+        re = jnp.where(ev[:, None], er.r[etop], 0.0).reshape(-1)
+        from .update import apply_ekf_update
+
+        state, dx = apply_ekf_update(
+            cfg, state, jnp.concatenate([Hm, He]), jnp.concatenate([rm, re])
+        )
+
+        # initialize promoted feature blocks (post-update P and dx, as the
+        # reference's measurementUpdate_hybrid does)
+        use_upd = use_k & ~promote_k
         # scatter promotion decisions back to table rows
         promote_mask = jnp.zeros((F,), bool).at[
             jnp.where(promote_k, cand_idx, F)

@@ -400,3 +400,39 @@ class TestReanchor:
         prune = jnp.zeros(cfg.sw_size, bool).at[1].set(True)
         st2 = reanchor_features(cfg, st, prune, jnp.asarray(3))
         assert int(st2.features.anchor_slot[0]) == 1  # unchanged -> removal pass
+
+
+class TestPromotedFeatureFreeRows:
+    def test_idp_split_matches_pw_nullspace_info_3d(self):
+        """For 3d idp, the feature-free rows of the Hf_idp QR split span the
+        same row space as the p_w-nullspace projection (Hf_idp = Hf_raw @
+        dpw_didp with full-rank dpw_didp), so the stacked update gains exactly
+        the reference's rows and no double counting."""
+        m, D = 12, 30
+        Hf_raw = jnp.asarray(RNG.normal(size=(m, 3)))
+        dpw_didp = jnp.asarray(RNG.normal(size=(3, 3)))  # full rank a.s.
+        Hf_idp = Hf_raw @ dpw_didp
+        H = jnp.asarray(RNG.normal(size=(m, D)))
+        r = jnp.asarray(RNG.normal(size=m))
+        _, _, _, Ho_idp, ro_idp = split_projection(Hf_idp, H, r)
+        _, _, _, Ho_pw, ro_pw = split_projection(Hf_raw, H, r)
+        # same information matrix and same projected residual information
+        assert np.allclose(np.asarray(Ho_idp.T @ Ho_idp),
+                           np.asarray(Ho_pw.T @ Ho_pw), atol=1e-9)
+        assert np.allclose(np.asarray(Ho_idp.T @ ro_idp),
+                           np.asarray(Ho_pw.T @ ro_pw), atol=1e-9)
+        # and the feature columns vanish from Ho
+        assert np.allclose(np.asarray(Ho_idp @ jnp.zeros((D,))), 0.0)
+
+    def test_1didp_feature_free_rows_keep_bearing_info(self):
+        """For 1d idp the split keeps m-1 rows (vs m-3 for the p_w
+        projection): the bearing directions join the update."""
+        m, D = 12, 30
+        Hf_raw = jnp.asarray(RNG.normal(size=(m, 3)))
+        Hf_rho = (Hf_raw @ jnp.asarray(RNG.normal(size=(3, 3))))[:, 2:3]
+        H = jnp.asarray(RNG.normal(size=(m, D)))
+        r = jnp.asarray(RNG.normal(size=m))
+        _, _, _, Ho, _ = split_projection(Hf_rho, H, r)
+        _, _, _, Ho_pw, _ = split_projection(Hf_raw, H, r)
+        assert np.linalg.matrix_rank(np.asarray(Ho)) == m - 1
+        assert np.linalg.matrix_rank(np.asarray(Ho_pw)) == m - 3
