@@ -33,6 +33,7 @@ class FilterConfig:
     if_zupt: bool = False  # if_ZUPT_valid
     use_schmidt: bool = False  # use_schmidt: keep pruned anchors as nuisance states
     nuisance_cap: int = 0  # static capacity of Schmidt nuisance clone blocks
+    calib_imu: bool = False  # calib_imu_instrinsic: online Tg/As/Ma estimation
 
     # --- noise densities (continuous), config keys noise_gyro etc. ---
     gyro_noise: float = 0.004
@@ -50,6 +51,7 @@ class FilterConfig:
     init_cov_extrin_rot: float = 3e-4
     init_cov_extrin_trans: float = 2.5e-5
     init_cov_td: float = 4e-6
+    init_cov_imu_intrinsic: float = 1e-4  # orcvio.cpp:222-225
 
     # --- misc ---
     gravity: float = 9.81  # GRAVITY_ACCELERATION (imu_state.h:20)
@@ -83,10 +85,29 @@ class FilterConfig:
         return 22
 
     @property
+    def intrinsic_dim(self) -> int:
+        """IMU-intrinsic error dims (calib_imu, orcvio.cpp:197 LEG_DIM=46).
+
+        Layout [T1 T2 T3 | A1 A2 A3 | M1 M2] (3 each, orcvio.cpp:176-194):
+        full Tg (gyro scale/misalignment), full As (g-sensitivity),
+        lower-triangular Ma (acc scale/misalignment). Unlike the reference we
+        place the block AFTER the EKF feature states, not inside the leg, so
+        every existing offset (LEG=22, clones, features) is unchanged.
+        """
+        return 24 if self.calib_imu else 0
+
+    @property
+    def intrinsic_base(self) -> int:
+        return (self.leg_dim + 6 * self.sw_size
+                + self.feature_idp_dim * self.ekf_feature_cap)
+
+    @property
     def state_dim(self) -> int:
-        # leg + clones + EKF-SLAM feature states (1d/3d idp) + nuisance clones
+        # leg + clones + EKF-SLAM feature states (1d/3d idp) + IMU intrinsics
+        # + nuisance clones (last, so Schmidt tail slicing stays valid)
         return (self.leg_dim + 6 * self.sw_size
                 + self.feature_idp_dim * self.ekf_feature_cap
+                + self.intrinsic_dim
                 + 6 * self.nuisance_cap)
 
     def initial_cov_diag(self) -> np.ndarray:
@@ -101,6 +122,9 @@ class FilterConfig:
             d[18:21] = self.init_cov_extrin_trans
         if self.estimate_td:
             d[21] = self.init_cov_td
+        if self.calib_imu:
+            ib = self.intrinsic_base
+            d[ib : ib + 24] = self.init_cov_imu_intrinsic
         return d
 
     def continuous_noise_cov(self) -> np.ndarray:

@@ -129,6 +129,7 @@ def load_reference_yaml(path: str):
         if_fej=_get(fs, "if_FEJ", False),
         estimate_extrinsic=_get(fs, "estimate_extrin", False),
         estimate_td=_get(fs, "estimate_td", False),
+        calib_imu=_get(fs, "calib_imu_instrinsic", False),
         if_zupt=_get(fs, "if_ZUPT_valid", False),
         gyro_noise=_get(fs, "noise_gyro", 0.004),
         acc_noise=_get(fs, "noise_acc", 0.08),

@@ -197,4 +197,14 @@ def increment_state(cfg: FilterConfig, state: FilterState, dx) -> FilterState:
         slot = jnp.clip(ft.state_slot, 0, E - 1)
         delta = jnp.where(ft.in_state[:, None], dfeat[slot], 0.0)
         state = state.replace(features=ft.replace(idp=ft.idp + delta))
+
+    # IMU intrinsics (orcvio.cpp:4523-4533: additive T*/A*/M* then updateImuMx)
+    if cfg.calib_imu:
+        from .state import apply_imu_intrinsics_delta
+
+        ib = cfg.intrinsic_base
+        Tg, As, Ma = apply_imu_intrinsics_delta(
+            state.Tg, state.As, state.Ma, dx[ib : ib + 24]
+        )
+        state = state.replace(Tg=Tg, As=As, Ma=Ma)
     return state

@@ -281,7 +281,8 @@ def remove_state_features(cfg: FilterConfig, state: FilterState, kill_mask):
 # ---------------------------------------------------------------------------
 
 def nui_base(cfg: FilterConfig) -> int:
-    return ekf_base(cfg) + idp_dim(cfg) * cfg.ekf_feature_cap
+    # nuisance blocks sit after the EKF features AND the IMU-intrinsic block
+    return ekf_base(cfg) + idp_dim(cfg) * cfg.ekf_feature_cap + cfg.intrinsic_dim
 
 
 def extended_cam_poses(cfg: FilterConfig, state: FilterState):

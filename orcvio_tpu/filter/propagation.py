@@ -8,9 +8,15 @@ loop becomes a ``lax.scan`` over a fixed-capacity per-frame IMU slab with a
 validity mask (masked samples have dt = 0 and are exact no-ops), and the dense
 d x d covariance update touches only the 22-dim leg block + cross terms.
 
-IMU intrinsics (Tg/As/Ma) are identity/zero — exactly the values the reference
-hardcodes at load time (orcvio.cpp:167-170); the intrinsic-calibration error
-states (calib_imu, LEG_DIM=46) are not modeled.
+IMU intrinsics (Tg/As/Ma): with cfg.calib_imu the measurements are corrected
+as acc = Ma (a_m - ba), gyro = Tg (w_m - As acc - bg) (processModel,
+orcvio.cpp:732-746) and the 24 intrinsic error states get transition columns.
+Unlike the reference's hand-written RK4 sensitivity blocks (calPhiClosedForm's
+calib_imu branch, orcvio.cpp:4040-4300), the [theta v p] x [bg ba intrinsics]
+columns are obtained by forward-mode autodiff of the exact mean propagation at
+zero perturbation — per-sample, accumulated through the slab scan. With
+calib_imu off the propagation path is bit-identical to before (intrinsics
+never touch it).
 """
 from __future__ import annotations
 
@@ -19,7 +25,17 @@ import jax.numpy as jnp
 
 from ..config.core import FilterConfig
 from ..math import so3
-from .state import BA, BG, LEG, POS, THETA, VEL, FilterState, ImuState
+from .state import (
+    BA,
+    BG,
+    LEG,
+    POS,
+    THETA,
+    VEL,
+    FilterState,
+    ImuState,
+    apply_imu_intrinsics_delta,
+)
 
 
 def gravity_vec(cfg: FilterConfig, dtype=jnp.float32):
@@ -208,6 +224,28 @@ def noise_input_matrix(C_old, use_left_or_larvio: bool, dtype):
     return G
 
 
+def _bias_intrinsic_sensitivity(cfg, imu_old, dt, gyro_m, acc_m, Tg, As, Ma, bg, ba, g_w, imu_nom):
+    """(9, 30) sensitivity of the propagated [theta v p] error to
+    [dbg(3) dba(3) dintr(24)], by jacfwd of the exact mean propagation at zero
+    perturbation. theta uses the configured perturbation convention."""
+    left = cfg.use_larvio or cfg.use_left_perturbation
+
+    def h_err(dvec):
+        dbg, dba, d24 = dvec[:3], dvec[3:6], dvec[6:]
+        Tg2, As2, Ma2 = apply_imu_intrinsics_delta(Tg, As, Ma, d24)
+        acc = Ma2 @ (acc_m - (ba + dba))
+        gyro = Tg2 @ (gyro_m - As2 @ acc - (bg + dbg))
+        if cfg.use_larvio:
+            im = propagate_mean_rk4(imu_old, gyro, acc, dt, g_w)
+        else:
+            im = propagate_mean_closed_form(imu_old, gyro, acc, dt, g_w)
+        M = im.R @ imu_nom.R.T if left else imu_nom.R.T @ im.R
+        dth = jnp.stack([M[2, 1] - M[1, 2], M[0, 2] - M[2, 0], M[1, 0] - M[0, 1]]) * 0.5
+        return jnp.concatenate([dth, im.v - imu_nom.v, im.p - imu_nom.p])
+
+    return jax.jacfwd(h_err)(jnp.zeros(30, imu_old.R.dtype))
+
+
 # ---------------------------------------------------------------------------
 # One IMU sample (processModel) and the per-frame scan (batchImuProcessing)
 # ---------------------------------------------------------------------------
@@ -222,10 +260,17 @@ def _leg_phi_q(cfg: FilterConfig, state: FilterState, t_imu, gyro_m, acc_m, gyro
     dt = t_imu - state.t
     g_w = gravity_vec(cfg, state.P.dtype)
 
-    acc = acc_m - state.imu.ba
-    gyro = gyro_m - state.imu.bg
-    acc_old = acc_m_old - state.imu.ba
-    gyro_old = gyro_m_old - state.imu.bg
+    if cfg.calib_imu:
+        # acc = Ma (a_m - ba); gyro = Tg (w_m - As acc - bg) (orcvio.cpp:732)
+        acc = state.Ma @ (acc_m - state.imu.ba)
+        gyro = state.Tg @ (gyro_m - state.As @ acc - state.imu.bg)
+        acc_old = state.Ma @ (acc_m_old - state.imu.ba)
+        gyro_old = state.Tg @ (gyro_m_old - state.As @ acc_old - state.imu.bg)
+    else:
+        acc = acc_m - state.imu.ba
+        gyro = gyro_m - state.imu.bg
+        acc_old = acc_m_old - state.imu.ba
+        gyro_old = gyro_m_old - state.imu.bg
 
     imu_old = state.imu
     if cfg.use_larvio:
@@ -246,6 +291,18 @@ def _leg_phi_q(cfg: FilterConfig, state: FilterState, t_imu, gyro_m, acc_m, gyro
     else:
         Phi = phi_euler(imu_new.R, gyro, acc, dt, cfg.use_left_perturbation)
 
+    if cfg.calib_imu:
+        # autodiff-exact [theta v p] x [bg ba intr] columns (the analytic
+        # bias columns above assume identity intrinsics)
+        B = _bias_intrinsic_sensitivity(
+            cfg, imu_old, dt, gyro_m, acc_m, state.Tg, state.As, state.Ma,
+            state.imu.bg, state.imu.ba, g_w, imu_new,
+        )
+        Phi = Phi.at[0:9, 9:15].set(B[:, :6])
+        S = jnp.zeros((LEG, 24), state.P.dtype).at[0:9].set(B[:, 6:])
+    else:
+        S = None
+
     G = noise_input_matrix(imu_old.R, cfg.use_larvio or cfg.use_left_perturbation, state.P.dtype)
     Qc = jnp.asarray(cfg.continuous_noise_cov(), state.P.dtype)
     PhiG = Phi @ G
@@ -258,17 +315,29 @@ def _leg_phi_q(cfg: FilterConfig, state: FilterState, t_imu, gyro_m, acc_m, gyro
         imu_fej_now=fej_now,
         imu_fej_old=fej_old,
     )
-    return state, Phi, Q
+    return state, Phi, Q, S
 
 
-def apply_leg_covariance(state: FilterState, Phi, Q) -> FilterState:
-    """P <- Phi P Phi^T + Q on the leg block + cross terms (orcvio.cpp:797-816)."""
+def apply_leg_covariance(state: FilterState, Phi, Q, S=None, ib: int = 0) -> FilterState:
+    """P <- T P T^T + Q with T = [[Phi, S@intr], [0, I]] (orcvio.cpp:797-816).
+
+    With S=None this is the plain leg congruence. With S (LEG, 24) the
+    intrinsic block at [ib:ib+24] feeds the leg rows; the intrinsic states
+    themselves are constants (no dynamics, no process noise).
+    """
     P = state.P
-    P_ll = Phi @ P[:LEG, :LEG] @ Phi.T + Q
-    P_lr = Phi @ P[:LEG, LEG:]
-    P = P.at[:LEG, :LEG].set(P_ll)
-    P = P.at[:LEG, LEG:].set(P_lr)
-    P = P.at[LEG:, :LEG].set(P_lr.T)
+    if S is None:
+        P_ll = Phi @ P[:LEG, :LEG] @ Phi.T + Q
+        P_lr = Phi @ P[:LEG, LEG:]
+        P = P.at[:LEG, :LEG].set(P_ll)
+        P = P.at[:LEG, LEG:].set(P_lr)
+        P = P.at[LEG:, :LEG].set(P_lr.T)
+    else:
+        Pl = Phi @ P[:LEG, :] + S @ P[ib : ib + 24, :]
+        P = P.at[:LEG, :].set(Pl)
+        Pc = P[:, :LEG] @ Phi.T + P[:, ib : ib + 24] @ S.T
+        P = P.at[:, :LEG].set(Pc)
+        P = P.at[:LEG, :LEG].add(Q)
     P = 0.5 * (P + P.T)
     return state.replace(P=P)
 
@@ -279,8 +348,8 @@ def process_step(cfg: FilterConfig, state: FilterState, t_imu, gyro_m, acc_m, gy
     All quantities at dt = 0 reduce to exact no-ops, so masked (padding)
     samples can call this with t_imu == state.t.
     """
-    state, Phi, Q = _leg_phi_q(cfg, state, t_imu, gyro_m, acc_m, gyro_m_old, acc_m_old)
-    return apply_leg_covariance(state, Phi, Q)
+    state, Phi, Q, S = _leg_phi_q(cfg, state, t_imu, gyro_m, acc_m, gyro_m_old, acc_m_old)
+    return apply_leg_covariance(state, Phi, Q, S, cfg.intrinsic_base)
 
 
 def imu_batch(cfg: FilterConfig, state: FilterState, imu_t, imu_gyro, imu_acc, imu_mask):
@@ -292,26 +361,41 @@ def imu_batch(cfg: FilterConfig, state: FilterState, imu_t, imu_gyro, imu_acc, i
     the reference's m_gyro_old/m_acc_old carried across frames.
     """
 
+    state2, Phi_tot, Q_tot, S_tot, g_last, a_last = imu_batch_transition(
+        cfg, state, imu_t, imu_gyro, imu_acc, imu_mask
+    )
+    state2 = apply_leg_covariance(state2, Phi_tot, Q_tot, S_tot, cfg.intrinsic_base)
+    return state2.replace(last_gyro=g_last, last_acc=a_last)
+
+
+def imu_batch_transition(cfg: FilterConfig, state: FilterState, imu_t, imu_gyro, imu_acc, imu_mask):
+    """Slab mean propagation + accumulated (Phi_tot, Q_tot, S_tot).
+
+    Exposed separately so tests can check the accumulated transition against
+    autodiff of the whole-slab propagation. S_tot is None unless
+    cfg.calib_imu: S composes as S <- Phi_k S + S_k (intrinsics constant)."""
     dtype = state.P.dtype
     eye = jnp.eye(LEG, dtype=dtype)
+    calib = cfg.calib_imu
 
     def step(carry, inp):
-        st, g_old, a_old, Phi_acc, Q_acc = carry
+        st, g_old, a_old, Phi_acc, Q_acc, S_acc = carry
         t_i, g_i, a_i, m_i = inp
         t_eff = jnp.where(m_i, t_i, st.t)
         g_eff = jnp.where(m_i, g_i, g_old)
         a_eff = jnp.where(m_i, a_i, a_old)
-        st2, Phi, Q = _leg_phi_q(cfg, st, t_eff, g_eff, a_eff, g_old, a_old)
+        st2, Phi, Q, S = _leg_phi_q(cfg, st, t_eff, g_eff, a_eff, g_old, a_old)
         # compose 22x22 accumulators; the full covariance is touched once per
         # frame (P <- Phi_tot P Phi_tot^T + Q_tot, identical by induction)
-        Phi_acc = Phi @ Phi_acc
-        Q_acc = Phi @ Q_acc @ Phi.T + Q
-        return (st2, g_eff, a_eff, Phi_acc, Q_acc), None
+        Phi_acc2 = Phi @ Phi_acc
+        Q_acc2 = Phi @ Q_acc @ Phi.T + Q
+        S_acc2 = Phi @ S_acc + S if calib else S_acc
+        return (st2, g_eff, a_eff, Phi_acc2, Q_acc2, S_acc2), None
 
-    (state2, g_last, a_last, Phi_tot, Q_tot), _ = jax.lax.scan(
+    S0 = jnp.zeros((LEG, 24), dtype) if calib else jnp.zeros((), dtype)
+    (state2, g_last, a_last, Phi_tot, Q_tot, S_tot), _ = jax.lax.scan(
         step,
-        (state, state.last_gyro, state.last_acc, eye, jnp.zeros((LEG, LEG), dtype)),
+        (state, state.last_gyro, state.last_acc, eye, jnp.zeros((LEG, LEG), dtype), S0),
         (imu_t, imu_gyro, imu_acc, imu_mask),
     )
-    state2 = apply_leg_covariance(state2, Phi_tot, Q_tot)
-    return state2.replace(last_gyro=g_last, last_acc=a_last)
+    return state2, Phi_tot, Q_tot, (S_tot if calib else None), g_last, a_last

@@ -152,6 +152,11 @@ class FilterState(struct.PyTreeNode):
     last_gyro: jnp.ndarray  # (3,) last raw gyro (m_gyro_old, orcvio.cpp:703)
     last_acc: jnp.ndarray  # (3,) last raw acc
     nui: "NuiClones"  # Schmidt nuisance clones (empty when nuisance_cap = 0)
+    # IMU intrinsics (calib_imu; orcvio.h:155-157 Tg/As/Ma). Model:
+    # acc = Ma (a_m - ba); gyro = Tg (w_m - As acc - bg) (orcvio.cpp:732-746)
+    Tg: jnp.ndarray  # (3, 3) gyro scale/misalignment
+    As: jnp.ndarray  # (3, 3) gyro g-sensitivity
+    Ma: jnp.ndarray  # (3, 3) acc scale/misalignment (lower triangular)
 
     @classmethod
     def create(cls, cfg: FilterConfig, dtype=jnp.float32):
@@ -175,8 +180,42 @@ class FilterState(struct.PyTreeNode):
             last_gyro=jnp.zeros(3, dtype),
             last_acc=jnp.zeros(3, dtype),
             nui=NuiClones.empty(cfg.nuisance_cap, dtype),
+            Tg=jnp.eye(3, dtype=dtype),
+            As=jnp.zeros((3, 3), dtype),
+            Ma=jnp.eye(3, dtype=dtype),
         )
 
 
 def clone_slice(slot: int):
     return slice(LEG + 6 * slot, LEG + 6 * (slot + 1))
+
+
+# IMU-intrinsic error-vector packing, order [T1 T2 T3 | A1 A2 A3 | M1 M2]
+# (orcvio.cpp:176-194 / updateImuMx :4373): X1 = below-diag (1,0),(2,0),(2,1);
+# X2 = diag; X3 = above-diag (0,1),(0,2),(1,2). Ma has no upper part.
+_LO = ((1, 0), (2, 0), (2, 1))
+_DI = ((0, 0), (1, 1), (2, 2))
+_UP = ((0, 1), (0, 2), (1, 2))
+
+
+def imu_intrinsics_to_vec(Tg, As, Ma):
+    def pick(M, idx):
+        return jnp.stack([M[i, j] for i, j in idx])
+
+    return jnp.concatenate([
+        pick(Tg, _LO), pick(Tg, _DI), pick(Tg, _UP),
+        pick(As, _LO), pick(As, _DI), pick(As, _UP),
+        pick(Ma, _LO), pick(Ma, _DI),
+    ])
+
+
+def apply_imu_intrinsics_delta(Tg, As, Ma, d24):
+    def add(M, idx, v):
+        for k, (i, j) in enumerate(idx):
+            M = M.at[i, j].add(v[k])
+        return M
+
+    Tg = add(add(add(Tg, _LO, d24[0:3]), _DI, d24[3:6]), _UP, d24[6:9])
+    As = add(add(add(As, _LO, d24[9:12]), _DI, d24[12:15]), _UP, d24[15:18])
+    Ma = add(add(Ma, _LO, d24[18:21]), _DI, d24[21:24])
+    return Tg, As, Ma
