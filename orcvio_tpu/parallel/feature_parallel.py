@@ -54,8 +54,13 @@ def information_update(cfg: FilterConfig, state: FilterState, Lam, b, ridge=None
     H_eff = Lr.T
     r_eff = jax.scipy.linalg.solve_triangular(Lr, b, lower=True)
     S = H_eff @ state.P @ H_eff.T + sigma2 * jnp.eye(D, dtype=dtype)
-    chol = jax.scipy.linalg.cho_factor(S, lower=True)
-    K_T = jax.scipy.linalg.cho_solve(chol, H_eff @ state.P)
+    # Jacobi-preconditioned LU solve. An f32 TPU replay can leave P with
+    # small negative eigenvalues (matmul roundoff, observed -4e-4 vs
+    # sigma2 = 1.6e-5), making S slightly indefinite — Cholesky NaNs there,
+    # LU with partial pivoting stays finite and equally accurate.
+    dS = jnp.sqrt(jnp.maximum(jnp.diag(S), 1e-30))
+    Sn = S / (dS[:, None] * dS[None, :])
+    K_T = jnp.linalg.solve(Sn, (H_eff @ state.P) / dS[:, None]) / dS[:, None]
     K = K_T.T
     dx = K @ r_eff
     state = increment_state(cfg, state, dx)
