@@ -67,7 +67,17 @@ def build_chi2_table(cfg: FilterConfig, dtype=jnp.float32):
 
 
 def filter_step(cfg: FilterConfig, state: FilterState, frame: FrameInput, chi2_table):
-    """One frame. Ref call stack: orcvio.cpp:500-660 (processFeatures)."""
+    """One frame. Ref call stack: orcvio.cpp:500-660 (processFeatures).
+
+    Traced under HIGHEST matmul precision: the covariance algebra is
+    catastrophically sensitive to the TPU's default bf16 MXU passes in f32
+    (P goes indefinite within ~100 frames and the filter diverges, rmse
+    5 m -> 0.2 m with true-f32 matmuls at ~4% throughput cost)."""
+    with jax.default_matmul_precision("highest"):
+        return _filter_step(cfg, state, frame, chi2_table)
+
+
+def _filter_step(cfg: FilterConfig, state: FilterState, frame: FrameInput, chi2_table):
     # 1. IMU propagation to the frame time (batchImuProcessing, :567)
     state = prop.imu_batch(cfg, state, frame.imu_t, frame.imu_gyro, frame.imu_acc, frame.imu_mask)
 

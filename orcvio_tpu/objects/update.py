@@ -106,7 +106,13 @@ def object_ekf_update(cfg: FilterConfig, state: FilterState, exp: EkfExport, wTc
     """Full object update: build H -> nullspace -> gate -> update.
 
     Ref: removeLostObjects (orcvio.cpp:2154). Returns (state, used: bool).
-    """
+    Traced under HIGHEST matmul precision for the same covariance-stability
+    reason as filter_step."""
+    with jax.default_matmul_precision("highest"):
+        return _object_ekf_update(cfg, state, exp, wTc_obj, obj_t, chi2_table)
+
+
+def _object_ekf_update(cfg, state, exp, wTc_obj, obj_t, chi2_table):
     Hx, Hf, r, row_mask, any_match = build_object_H(cfg, state, exp, wTc_obj, obj_t)
     n_rows = jnp.sum(row_mask)
     dof_obj = Hf.shape[1]
