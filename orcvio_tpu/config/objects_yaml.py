@@ -55,3 +55,25 @@ def load_object_config(path: str) -> Dict[str, ObjectClassConfig]:
         for a in cfg.aliases:
             out[a] = cfg
     return out
+
+
+def scale_mean_shape(kps, dims, axis_map=(0, 1, 2)):
+    """Anisotropically scale canonical keypoints to metric object dimensions.
+
+    TPU-native equivalent of the mean-shape tooling
+    (python_scripts/process_sem_kps/scale_mean_shape_*.py): per-axis scale
+    factors so the keypoint extents equal the average metric (length, width,
+    height) of the class. kps: (K, 3) canonical keypoints; dims: (3,) target
+    extents per OUTPUT axis; axis_map[i] names which keypoint column carries
+    output axis i (the car wireframe stores width on x, length on y, height
+    on z — pass axis_map=(1, 0, 2) with dims=(L, W, H)).
+
+    Returns (kps_scaled (K, 3), scales (3,) per keypoint column).
+    """
+    kps = np.asarray(kps, np.float64)
+    dims = np.asarray(dims, np.float64)
+    extents = kps.max(axis=0) - kps.min(axis=0)
+    scales = np.ones(3)
+    for out_axis, col in enumerate(axis_map):
+        scales[col] = dims[out_axis] / max(extents[col], 1e-9)
+    return kps * scales, scales

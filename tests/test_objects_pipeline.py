@@ -214,3 +214,17 @@ class TestLiteInit:
         err = float(jnp.linalg.norm(wTq[:3, 3] - wPq_gt))
         # bbox-only depth from the ellipsoid extent: coarse but in the ballpark
         assert err < 0.2 * float(jnp.linalg.norm(wPq_gt)), err
+
+
+def test_scale_mean_shape():
+    from orcvio_tpu.config.objects_yaml import scale_mean_shape
+
+    rng = np.random.default_rng(4)
+    kps = rng.normal(size=(14, 3))
+    dims = (3.86, 1.6362, 1.5208)  # avg KITTI car L, W, H
+    out, scales = scale_mean_shape(kps, dims, axis_map=(1, 0, 2))
+    ext = out.max(axis=0) - out.min(axis=0)
+    # output axis 0 (length) lives on keypoint column 1, etc.
+    assert abs(ext[1] - 3.86) < 1e-9
+    assert abs(ext[0] - 1.6362) < 1e-9
+    assert abs(ext[2] - 1.5208) < 1e-9
