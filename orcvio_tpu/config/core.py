@@ -34,6 +34,7 @@ class FilterConfig:
     use_schmidt: bool = False  # use_schmidt: keep pruned anchors as nuisance states
     nuisance_cap: int = 0  # static capacity of Schmidt nuisance clone blocks
     calib_imu: bool = False  # calib_imu_instrinsic: online Tg/As/Ma estimation
+    prediction_only: bool = False  # prediction_only_flag: dead-reckon, no updates
 
     # --- noise densities (continuous), config keys noise_gyro etc. ---
     gyro_noise: float = 0.004

@@ -130,6 +130,7 @@ def load_reference_yaml(path: str):
         estimate_extrinsic=_get(fs, "estimate_extrin", False),
         estimate_td=_get(fs, "estimate_td", False),
         calib_imu=_get(fs, "calib_imu_instrinsic", False),
+        prediction_only=_get(fs, "prediction_only_flag", False),
         if_zupt=_get(fs, "if_ZUPT_valid", False),
         gyro_noise=_get(fs, "noise_gyro", 0.004),
         acc_noise=_get(fs, "noise_acc", 0.08),
@@ -162,3 +163,40 @@ def load_reference_yaml(path: str):
     )
     fs.release()
     return cfg, cam, fe
+
+
+def load_initial_state(path: str):
+    """GT initial state from a reference YAML (initial_use_gt, orcvio.cpp:123).
+
+    Returns None unless the file sets initial_use_gt; otherwise a dict with
+    t, R (from initial_quat, Hamilton [x y z w]), v, p, bg, ba as numpy
+    arrays, ready for FilterState.replace.
+    """
+    import cv2
+
+    fs = cv2.FileStorage(path, cv2.FILE_STORAGE_READ)
+    try:
+        if not _get(fs, "initial_use_gt", False):
+            return None
+        import numpy as np
+
+        from ..math import quat
+        import jax.numpy as jnp
+
+        def vec(key, n):
+            node = fs.getNode(key)
+            m = node.mat()
+            return np.asarray(m, np.float64).reshape(-1)[:n]
+
+        q = vec("initial_quat", 4)
+        R = np.asarray(quat.to_rotation(jnp.asarray(q)))
+        return dict(
+            t=float(_get(fs, "initial_state_time", 0.0)),
+            R=R,
+            v=vec("initial_vel", 3),
+            p=vec("initial_pos", 3),
+            bg=vec("initial_bg", 3),
+            ba=vec("initial_ba", 3),
+        )
+    finally:
+        fs.release()

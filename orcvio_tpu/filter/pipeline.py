@@ -85,13 +85,18 @@ def _filter_step(cfg: FilterConfig, state: FilterState, frame: FrameInput, chi2_
     state = state_augmentation(cfg, state)
     cur_slot = current_clone_slot(state)
 
-    # 3. ingest feature measurements (addFeatureObservations, :1016)
+    # 3. ingest feature measurements (addFeatureObservations, :1016);
+    #    prediction_only skips ingestion so no update can ever fire
+    #    (prediction_only_flag, orcvio.cpp:569)
     prev_live = jnp.sum(state.features.active)
-    table, tracked = feat.add_observations(
-        state.features, cur_slot, frame.fids, frame.uvs, frame.uv_vels, frame.meas_mask
-    )
-    state = state.replace(features=table)
-    tracking_rate = tracked / jnp.maximum(prev_live, 1)
+    if cfg.prediction_only:
+        tracking_rate = jnp.ones((), state.P.dtype)
+    else:
+        table, tracked = feat.add_observations(
+            state.features, cur_slot, frame.fids, frame.uvs, frame.uv_vels, frame.meas_mask
+        )
+        state = state.replace(features=table)
+        tracking_rate = tracked / jnp.maximum(prev_live, 1)
 
     # 3b. zero-velocity update (orcvio.cpp:580-590: checkZUPTFeat ->
     #     checkZUPTIMU fallback -> measurementUpdate_ZUPT_vpq)

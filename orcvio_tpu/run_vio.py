@@ -174,10 +174,33 @@ def main(argv=None):
         dist_model=cam.distortion_model,
         dist_coeffs=tuple(cam.dist_coeffs),
     )
+    # GT initial state from the config (initial_use_gt, orcvio.cpp:123)
+    init_fs = None
+    from .config.yaml_io import load_initial_state
+
+    gt0 = load_initial_state(args.config)
+    if gt0 is not None:
+        from .filter.state import FilterState
+
+        st0 = FilterState.create(cfg, jnp.float32)
+        imu0 = st0.imu.replace(
+            R=jnp.asarray(gt0["R"], jnp.float32), v=jnp.asarray(gt0["v"], jnp.float32),
+            p=jnp.asarray(gt0["p"], jnp.float32), bg=jnp.asarray(gt0["bg"], jnp.float32),
+            ba=jnp.asarray(gt0["ba"], jnp.float32),
+        )
+        init_fs = st0.replace(
+            t=jnp.asarray(gt0["t"], jnp.float32), imu=imu0, imu_fej_now=imu0,
+            imu_old=imu0, R_b2c=jnp.asarray(cam.R_b2c, jnp.float32),
+            t_c_b=jnp.asarray(cam.t_c_b, jnp.float32),
+            initialized=jnp.ones((), bool),
+        )
+        print("initialized from GT state in config")
+
     res = run_image_sequence(
         cfg, tc, get_image, seq.cam_t[:K],
         imu_t[:K], gyro[:K], acc[:K], mask[:K],
         np.asarray(cam.R_b2c), np.asarray(cam.t_c_b),
+        init_filter_state=init_fs,
         progress_every=100,
     )
     q = np.stack([np.asarray(quat.from_rotation(jnp.asarray(R))) for R in res["R"]])

@@ -184,3 +184,47 @@ def test_calib_imu_with_hybrid_and_schmidt_layout():
     assert bool(jnp.all(jnp.isfinite(final.P)))
     err = np.linalg.norm(np.asarray(outs.p) - np.asarray(data.gt_p), axis=1)
     assert float(np.sqrt((err**2).mean())) < 0.3
+
+
+def test_prediction_only_dead_reckons():
+    """prediction_only_flag: no features ingested, zero updates, pure DR."""
+    sim = SimConfig(n_frames=30, n_landmarks=100, max_obs=20, uv_noise=0.002, seed=2)
+    cfg = FilterConfig(sw_size=6, max_features=40, max_track_len=4, imu_slab=sim.imu_slab,
+                       tri_translation_threshold=-1.0, prediction_only=True)
+    data = generate(sim)
+    st = FilterState.create(cfg, jnp.float64)
+    R0, p0 = trajectory_pose(sim, jnp.asarray(0.0))
+    v0 = jax.jacobian(lambda t: trajectory_pose(sim, t)[1])(jnp.asarray(0.0))
+    imu = st.imu.replace(R=R0, p=p0, v=v0)
+    st = st.replace(imu=imu, imu_fej_now=imu, imu_old=imu, initialized=jnp.ones((), bool))
+    chi2 = build_chi2_table(cfg, jnp.float64)
+    final, outs = run_sequence(cfg, st, data.frames, chi2)
+    assert int(np.asarray(outs.n_update_features).sum()) == 0
+    assert int(jnp.sum(final.features.fid >= 0)) == 0
+    assert bool(jnp.all(jnp.isfinite(outs.p)))
+
+
+def test_load_initial_state_yaml(tmp_path):
+    from orcvio_tpu.config.yaml_io import load_initial_state
+
+    y = tmp_path / "cfg.yaml"
+    y.write_text(
+        "%YAML:1.0\n---\n"
+        "initial_use_gt: 1\n"
+        "initial_state_time: 12.5\n"
+        "initial_bg: !!opencv-matrix\n  rows: 3\n  cols: 1\n  dt: d\n  data: [0.01, -0.02, 0.003]\n"
+        "initial_ba: !!opencv-matrix\n  rows: 3\n  cols: 1\n  dt: d\n  data: [0.1, 0.0, -0.05]\n"
+        "initial_pos: !!opencv-matrix\n  rows: 3\n  cols: 1\n  dt: d\n  data: [1.0, 2.0, 3.0]\n"
+        "initial_vel: !!opencv-matrix\n  rows: 3\n  cols: 1\n  dt: d\n  data: [0.5, 0.0, 0.0]\n"
+        "initial_quat: !!opencv-matrix\n  rows: 4\n  cols: 1\n  dt: d\n  data: [0.0, 0.0, 0.0, 1.0]\n"
+    )
+    s = load_initial_state(str(y))
+    assert s is not None
+    assert s["t"] == 12.5
+    assert np.allclose(s["p"], [1.0, 2.0, 3.0])
+    assert np.allclose(s["R"], np.eye(3))
+    assert np.allclose(s["bg"], [0.01, -0.02, 0.003])
+    # file without the flag -> None
+    y2 = tmp_path / "cfg2.yaml"
+    y2.write_text("%YAML:1.0\n---\nsw_size: 10\n")
+    assert load_initial_state(str(y2)) is None
