@@ -109,7 +109,16 @@ class SimData(NamedTuple):
 
 
 def generate(sim: SimConfig, R_b2c=None, t_c_b=None) -> SimData:
-    """Build the full stacked FrameInput sequence (host-side, numpy speed)."""
+    """Build the full stacked FrameInput sequence (host-side, numpy speed).
+
+    Generated under HIGHEST matmul precision: on TPU the default bf16 passes
+    degrade the analytic IMU/projection data itself, confounding accuracy
+    measurements of the filter that consumes it."""
+    with jax.default_matmul_precision("highest"):
+        return _generate(sim, R_b2c, t_c_b)
+
+
+def _generate(sim: SimConfig, R_b2c=None, t_c_b=None) -> SimData:
     if R_b2c is None:
         R_b2c = jnp.eye(3)
     if t_c_b is None:
