@@ -69,12 +69,31 @@ def information_update(cfg: FilterConfig, state: FilterState, Lam, b, ridge=None
     return state.replace(P=0.5 * (Pn + Pn.T)), dx
 
 
+def pad_feature_axis(ct: CompactTracks, p_w, use, n_dev: int):
+    """Pad the feature axis to a multiple of n_dev so any real config
+    (e.g. max_features=200 on 8 devices) shards evenly.
+
+    Padded rows carry use=False, so they contribute exact zeros to the
+    information pair — the update is bit-identical to the unpadded one.
+    """
+    F = use.shape[0]
+    pad = (-F) % n_dev
+    if pad == 0:
+        return ct, p_w, use
+    ctp = jax.tree.map(lambda x: jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1)), ct)
+    p_wp = jnp.pad(p_w, ((0, pad), (0, 0)))
+    usep = jnp.pad(use, (0, pad))  # False padding
+    return ctp, p_wp, usep
+
+
 def feature_parallel_update(cfg: FilterConfig, mesh: Mesh, axis: str = "fp"):
     """Build a jitted sharded update: features split over `axis`, state replicated.
 
     Returns fn(state, ct_shardable, p_w, use_mask_inputs...) — here we take the
     already-classified inputs: ct (CompactTracks, feature axis shardable),
-    p_w (F, 3), use (F,). All devices produce the identical updated state.
+    p_w (F, 3), use (F,). The feature axis is zero-padded to a multiple of the
+    mesh axis size, so capacity need not divide the device count. All devices
+    produce the identical updated state.
     """
     n_dev = mesh.shape[axis]
 
@@ -98,4 +117,9 @@ def feature_parallel_update(cfg: FilterConfig, mesh: Mesh, axis: str = "fp"):
         in_specs=(P(), P(axis), P(axis), P(axis)),
         out_specs=(P(), P()),
     )
-    return jax.jit(fn)
+
+    def padded(state, ct, p_w, use):
+        ct, p_w, use = pad_feature_axis(ct, p_w, use, n_dev)
+        return fn(state, ct, p_w, use)
+
+    return jax.jit(padded)

@@ -13,7 +13,27 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
+import zlib
+
 import jax
+import numpy as np
+import pytest
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+@pytest.fixture(autouse=True)
+def _reseed_module_rng(request):
+    """Rebind a module-level ``RNG`` generator to a per-test deterministic seed.
+
+    Several test modules keep a shared ``RNG = np.random.default_rng(...)``;
+    consuming it across tests makes draws depend on execution order (flaky
+    under ``pytest -n`` / ``-k`` subsets). Reseeding per test keeps draws
+    deterministic AND order-independent.
+    """
+    mod = request.module
+    if isinstance(getattr(mod, "RNG", None), np.random.Generator):
+        seed = zlib.adler32(f"{mod.__name__}::{request.node.name}".encode())
+        mod.RNG = np.random.default_rng(seed)
+    yield

@@ -109,6 +109,48 @@ class TestFeatureParallel:
         assert np.allclose(np.asarray(dx_c), np.asarray(dx_b), atol=1e-8)
         assert np.allclose(np.asarray(st_c.P), np.asarray(st_b.P), atol=1e-8)
 
+    def test_feature_cap_not_multiple_of_devices(self):
+        """Capacity 21 on 8 devices: zero-padding must keep the update exact."""
+        from orcvio_tpu.filter.augment import cam_poses, state_augmentation
+        from orcvio_tpu.filter import features as feat
+        from orcvio_tpu.filter.tracks import compact_tracks
+        from orcvio_tpu.filter.triangulation import triangulate
+        from orcvio_tpu.filter.update import feature_jacobians
+        from orcvio_tpu.math import so3
+
+        rng = np.random.default_rng(6)
+        F = 21
+        cfg = FilterConfig(sw_size=6, max_features=F, max_track_len=4,
+                           observation_noise=0.004, tri_translation_threshold=-1.0)
+        st = FilterState.create(cfg, jnp.float64)
+        lm = rng.normal(size=(F, 3)) * 2 + [0, 0, 8]
+        for i in range(5):
+            R = so3.exp(jnp.asarray(rng.normal(size=3) * 0.05))
+            p = jnp.asarray([0.4 * i, 0.05 * i, 0.0])
+            imu = st.imu.replace(R=R, p=p)
+            st = st.replace(imu=imu, imu_fej_now=imu, t=jnp.asarray(float(i)))
+            st = state_augmentation(cfg, st)
+            R_c2w, t_c_w = cam_poses(st)
+            pc = (lm - np.asarray(t_c_w[i])) @ np.asarray(R_c2w[i])
+            uv = jnp.asarray(pc[:, :2] / pc[:, 2:3] + rng.normal(size=(F, 2)) * 1e-3)
+            tb, _ = feat.add_observations(
+                st.features, jnp.asarray(i), jnp.arange(F, dtype=jnp.int32), uv, uv * 0,
+                jnp.ones(F, bool))
+            st = st.replace(features=tb)
+        st = st.replace(P=jnp.eye(cfg.state_dim, dtype=jnp.float64) * 1e-2)
+        ct = compact_tracks(st.features, st.clones.order, cfg.max_track_len)
+        R_c2w, t_c_w = cam_poses(st)
+        tri = triangulate(cfg, ct, R_c2w, t_c_w)
+        fj = feature_jacobians(cfg, st, ct, tri.p_world)
+        use = tri.valid & (2 * ct.n_obs > 3)
+        Lam, b = information_from_jacobians(fj, use)
+        st_b, dx_b = information_update(cfg, st, Lam, b)
+        mesh = make_mesh(8, axis="fp")
+        fn = feature_parallel_update(cfg, mesh)
+        st_c, dx_c = fn(st, ct, tri.p_world, use)
+        assert np.allclose(np.asarray(dx_c), np.asarray(dx_b), atol=1e-8)
+        assert np.allclose(np.asarray(st_c.P), np.asarray(st_b.P), atol=1e-8)
+
 
 class TestVmapBatchEval:
     def test_vmap_matches_serial(self):
