@@ -162,6 +162,14 @@ def main(argv=None):
             img = cv2.imread(seq.image_paths[k], cv2.IMREAD_GRAYSCALE)
             return img.astype(np.float32)
 
+    # Rebase times to the sequence start: absolute EuRoC epochs (~1.4e9 s)
+    # have a 128 s ulp in float32 — every timestamp would round to the same
+    # value on-chip. The filter only ever uses time differences.
+    t_origin = float(seq.cam_t[0]) - 1.0
+    seq_cam_t = seq.cam_t - t_origin
+    imu_t = imu_t - t_origin * (imu_t != 0.0)  # padded slab entries stay 0
+    gt_t_rel = None if seq.gt_t is None else seq.gt_t - t_origin
+
     K = len(seq.cam_t) if not args.max_frames else min(args.max_frames, len(seq.cam_t))
 
     tc = TrackerConfig(
@@ -197,18 +205,18 @@ def main(argv=None):
         print("initialized from GT state in config")
 
     res = run_image_sequence(
-        cfg, tc, get_image, seq.cam_t[:K],
+        cfg, tc, get_image, seq_cam_t[:K],
         imu_t[:K], gyro[:K], acc[:K], mask[:K],
         np.asarray(cam.R_b2c), np.asarray(cam.t_c_b),
         init_filter_state=init_fs,
         progress_every=100,
     )
     q = np.stack([np.asarray(quat.from_rotation(jnp.asarray(R))) for R in res["R"]])
-    write_tum(args.out, res["t"], res["p"], q)
+    write_tum(args.out, res["t"] + t_origin, res["p"], q)
     print(f"fps={res['fps']:.1f}, wrote {args.out}")
-    if seq.gt_t is not None:
+    if gt_t_rel is not None:
         try:
-            m = ate(res["t"], res["p"], q, seq.gt_t, seq.gt_p, seq.gt_q, alignment="posyaw")
+            m = ate(res["t"], res["p"], q, gt_t_rel, seq.gt_p, seq.gt_q, alignment="posyaw")
             print(f"ATE posyaw: {m['rmse_trans']:.3f} m, {m['rmse_rot_deg']:.2f} deg ({m['n_matched']} matched)")
         except ValueError as e:
             print(f"ATE skipped: {e}")

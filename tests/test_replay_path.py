@@ -204,3 +204,45 @@ class TestEval:
         p = np.column_stack([np.arange(100.0), np.zeros(100), np.zeros(100)])
         out = relative_errors(t, p + 0.01, t, p, distances=(8.0, 16.0))
         assert all(v < 1.0 for v in out.values())
+
+
+class TestEurocWriter:
+    def test_roundtrip_writer_loader(self, tmp_path):
+        """write_euroc_dataset output parses with load_euroc; IMU at rest
+        reads gravity+bias; GT quats match the written rotations."""
+        from orcvio_tpu.dataio.euroc_writer import (
+            CameraModel, WriterConfig, write_euroc_dataset, write_reference_config,
+        )
+        from orcvio_tpu.dataio.synthetic import SimConfig
+
+        sim = SimConfig(n_frames=6, frame_hz=20.0, imu_hz=200.0, static_time=1.0,
+                        height=4.0, radius=2.0, omega=0.5, seed=3,
+                        gyro_noise=0.0, acc_noise=0.0)
+        wc = WriterConfig(cam=CameraModel(width=64, height=48, fx=40.0, fy=40.0, cx=32.0, cy=24.0),
+                          tex_size=256, image_noise=0.0)
+        info = write_euroc_dataset(str(tmp_path), sim, wc)
+        seq = load_euroc(str(tmp_path))
+        assert len(seq.cam_t) == 6
+        # timestamps survive the absolute epoch to float64 precision (~50 ns)
+        assert abs((seq.cam_t[0] - 1.4e9) - 0.05) < 1e-6
+        # at rest (t < static_time): gyro == bias, acc == R^T g + bias
+        g0 = seq.gyro[0]
+        assert np.allclose(g0, wc.gyro_bias, atol=1e-6)
+        anorm = np.linalg.norm(seq.acc[0] - np.asarray(wc.acc_bias))
+        assert abs(anorm - 9.81) < 1e-3
+        # GT file: quaternion column order is w-first on disk, xyzw in loader
+        assert seq.gt_q.shape == (6, 4)
+        assert np.allclose(np.linalg.norm(seq.gt_q, axis=1), 1.0, atol=1e-6)
+        # config in the reference schema parses with our reference-YAML reader
+        cfg_path = str(tmp_path / "config.yaml")
+        write_reference_config(cfg_path, sim, wc, output_dir=str(tmp_path) + "/")
+        from orcvio_tpu.config.yaml_io import load_reference_yaml
+
+        cfg, cam, fe = load_reference_yaml(cfg_path)
+        assert cam.width == 64 and cam.height == 48
+        assert np.allclose(cam.dist_coeffs, 0.0)
+        # extrinsics: R_b2c is the down-looking camera
+        from orcvio_tpu.dataio.euroc_writer import R_B2C_DOWN
+
+        assert np.allclose(np.asarray(cam.R_b2c), R_B2C_DOWN, atol=1e-12)
+        assert np.allclose(np.asarray(cam.t_c_b), wc.t_c_b, atol=1e-12)
