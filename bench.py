@@ -1,22 +1,226 @@
-"""Benchmark: VIO filter replay throughput (frames/s/chip) on the default device.
+"""Benchmark: end-to-end VIO throughput (frames/s/chip) vs the reference C++.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-Baseline: the reference C++ pipeline stores no absolute throughput number
-(BASELINE.md) — it targets real-time EuRoC at 20 Hz and displays live fps;
-typical published MSCKF-class C++ backends run O(100) fps on desktop CPUs.
-We use 200 fps as the reference-backend estimate for vs_baseline; the raw
-frames/s value is the durable metric.
+Protocol (BASELINE.md: "measure reference fps on this machine for the
+denominator"):
+  1. A deterministic EuRoC-format benchmark sequence (752x480 @ 20 Hz,
+     IMU @ 200 Hz, EuRoC-realistic noise) is generated once and cached
+     (scripts/make_bench_seq.py writes the same bytes).
+  2. The UPSTREAM reference C++ front end + estimator — compiled unmodified
+     from /root/reference into native/refbench — is run on the sequence and
+     timed (its own loop structure, no viewer). This is the denominator.
+  3. Our staged TPU replay (tracker -> init -> filter compiled into one
+     lax.scan program over the device-resident image stream) runs on the
+     identical bytes: single-sequence latency and a vmapped batch for the
+     aggregate frames/s/chip serving number.
+
+Headline metric: batched end-to-end frames/s/chip (includes the front end,
+like the reference loop it is measured against). Extras carry the
+single-sequence e2e number, the filter-only aggregate, the reference's own
+front/back split, and accuracy (ATE) of both sides on the shared sequence.
 """
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
-REFERENCE_FPS_ESTIMATE = 200.0
+BENCH_DIR = "/tmp/orcvio_bench_seq"
+BENCH_FRAMES_GEN = 3600   # full sequence length when generating fresh
+BENCH_FRAMES = 900        # frames measured (45 s of flight; init takes 3 s)
+E2E_BATCH = 4             # sequences replayed concurrently for the aggregate
+# Cached measurement (this machine, 2026-08-17, full 3600-frame run) used
+# only if the refbench binary cannot be built/run here.
+REF_FALLBACK = {"fps": 61.26, "frontend_s": 41.37, "backend_s": 17.39,
+                "note": "cached measurement (refbench unavailable)"}
 
 
-def main():
+def ensure_bench_seq():
+    """Generate (or reuse) the benchmark sequence; returns its root dir."""
+    for marker_frames in (BENCH_FRAMES_GEN, BENCH_FRAMES):
+        if os.path.exists(os.path.join(BENCH_DIR, f".complete_{marker_frames}")):
+            return BENCH_DIR, marker_frames
+    r = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__) or ".",
+                                      "scripts", "make_bench_seq.py"),
+         BENCH_DIR, str(BENCH_FRAMES)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(f"bench sequence generation failed: {r.stderr[-2000:]}")
+    return BENCH_DIR, BENCH_FRAMES
+
+
+def truncate_seq(root: str, n_frames: int) -> str:
+    """EuRoC dir with only the first n_frames images (csv rewrite + symlinks)."""
+    import shutil
+
+    out = f"{root}_first{n_frames}"
+    marker = os.path.join(out, ".ok")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    mav_in, mav_out = os.path.join(root, "mav0"), os.path.join(out, "mav0")
+    os.makedirs(os.path.join(mav_out, "cam0"))
+    with open(os.path.join(mav_in, "cam0", "data.csv"), "rb") as f:
+        lines = f.read().split(b"\n")
+    header = [l for l in lines if l.startswith(b"#")]
+    rows = [l for l in lines if l and not l.startswith(b"#")][:n_frames]
+    with open(os.path.join(mav_out, "cam0", "data.csv"), "wb") as f:
+        f.write(b"\n".join(header + rows))
+    os.symlink(os.path.join(mav_in, "cam0", "data"),
+               os.path.join(mav_out, "cam0", "data"))
+    os.symlink(os.path.join(mav_in, "imu0"), os.path.join(mav_out, "imu0"))
+    gt = os.path.join(mav_in, "state_groundtruth_estimate0")
+    if os.path.exists(gt):
+        os.symlink(gt, os.path.join(mav_out, "state_groundtruth_estimate0"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def measure_reference(seq_root: str) -> dict:
+    """Build+run the unmodified reference C++ on the sequence; parse timing."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    binary = os.path.join(here, "native", "refbench", "build", "refbench")
+    try:
+        if not os.path.exists(binary):
+            subprocess.run(["bash", os.path.join(here, "native", "refbench", "build.sh")],
+                           check=True, capture_output=True, text=True, timeout=1800)
+        mav = os.path.join(seq_root, "mav0")
+        cfg = os.path.join(BENCH_DIR, "config.yaml")
+        os.makedirs("/tmp/refbench_cache", exist_ok=True)
+        r = subprocess.run(
+            [binary, os.path.join(mav, "imu0", "data.csv"),
+             os.path.join(mav, "cam0", "data.csv"),
+             os.path.join(mav, "cam0", "data"), cfg, "/tmp/refbench_traj.txt"],
+            capture_output=True, text=True, timeout=600,
+        )
+        for line in reversed(r.stdout.strip().split("\n")):
+            if line.startswith("{"):
+                out = json.loads(line)
+                out["note"] = "measured live"
+                return out
+        raise RuntimeError(f"no JSON in refbench output: {r.stdout[-500:]} {r.stderr[-500:]}")
+    except Exception as e:  # noqa: BLE001 — bench must always produce a line
+        out = dict(REF_FALLBACK)
+        out["error"] = str(e)[:300]
+        return out
+
+
+def reference_ate(seq_root: str) -> float:
+    from orcvio_tpu.dataio.euroc import load_euroc, read_tum
+    from orcvio_tpu.eval.trajectory import ate
+
+    try:
+        t, p, q = read_tum("/tmp/refbench_traj.txt")
+        seq = load_euroc(seq_root)
+        m = ate(t, p, q, seq.gt_t, seq.gt_p, seq.gt_q, alignment="posyaw")
+        return round(float(m["rmse_trans"]), 4)
+    except Exception:  # noqa: BLE001
+        return float("nan")
+
+
+def measure_ours(seq_root: str, n_frames: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from orcvio_tpu.config.core import FilterConfig
+    from orcvio_tpu.config.yaml_io import load_reference_yaml
+    from orcvio_tpu.dataio.euroc import load_euroc
+    from orcvio_tpu.dataio.native import NativeEurocLoader
+    from orcvio_tpu.eval.staged import (
+        load_bench_images, make_batched_e2e_replay, make_e2e_replay, stage_sequence,
+    )
+    from orcvio_tpu.eval.trajectory import ate
+    from orcvio_tpu.frontend.tracker import TrackerConfig, TrackerState
+    from orcvio_tpu.math import quat
+    from orcvio_tpu.vio import VioState
+
+    dtype = jnp.float32
+    cfg0, cam, fe = load_reference_yaml(os.path.join(BENCH_DIR, "config.yaml"))
+    imu_slab = 16
+    cfg = FilterConfig(**{**cfg0.__dict__, "imu_slab": imu_slab})
+    tc = TrackerConfig(
+        height=cam.height, width=cam.width, pyramid_levels=fe.pyramid_levels + 1,
+        capacity=fe.max_features_num, min_distance=float(fe.min_distance),
+        equalize=fe.flag_equalize, K=(cam.fx, cam.fy, cam.cx, cam.cy),
+        dist_model=cam.distortion_model, dist_coeffs=tuple(cam.dist_coeffs),
+    )
+
+    try:
+        nat = NativeEurocLoader(seq_root)
+        imu_t, gyro, acc, mask = nat.bin_imu(imu_slab, cfg.td)
+        cam_t = nat.cam_t
+        images = np.stack([nat.get_image(k).astype(np.uint8) for k in range(n_frames)])
+    except Exception:  # noqa: BLE001
+        seq = load_euroc(seq_root)
+        from orcvio_tpu.dataio.euroc import bin_imu_per_frame
+
+        imu_t, gyro, acc, mask = bin_imu_per_frame(seq, imu_slab, cfg.td)
+        cam_t = seq.cam_t
+        images = load_bench_images(seq.image_paths, cam.height, cam.width, limit=n_frames)
+
+    # rebase absolute EuRoC epochs (f32 ulp at 1.4e9 s is 128 s)
+    t_origin = float(cam_t[0]) - 1.0
+    cam_t = cam_t - t_origin
+    imu_t = imu_t - t_origin * (imu_t != 0.0)
+
+    staged = stage_sequence(images, cam_t[:n_frames], imu_t[:n_frames],
+                            gyro[:n_frames], acc[:n_frames], mask[:n_frames], dtype)
+    staged = jax.device_put(staged)
+    jax.block_until_ready(staged.images)
+
+    R_b2c, t_c_b = np.asarray(cam.R_b2c), np.asarray(cam.t_c_b)
+    replay = jax.jit(make_e2e_replay(cfg, tc, R_b2c, t_c_b, dtype))
+    ts0 = TrackerState.create(tc, dtype)
+    vs0 = VioState.create(cfg, tc.capacity, dtype)
+
+    (_, vs1), outs = replay(ts0, vs0, staged)
+    jax.block_until_ready(outs["p"])
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        _, outs = replay(ts0, vs0, staged)
+    jax.block_until_ready(outs["p"])
+    single_fps = n_frames * reps / (time.perf_counter() - t0)
+
+    # accuracy on the shared bytes
+    seq = load_euroc(seq_root)
+    q = np.stack([np.asarray(quat.from_rotation(jnp.asarray(R)))
+                  for R in np.asarray(outs["R"])])
+    try:
+        m = ate(np.asarray(cam_t[:n_frames]), np.asarray(outs["p"]), q,
+                seq.gt_t - t_origin, seq.gt_p, seq.gt_q, alignment="posyaw")
+        ours_ate = round(float(m["rmse_trans"]), 4)
+    except Exception:  # noqa: BLE001
+        ours_ate = float("nan")
+
+    # batched aggregate: B independent replays of the staged sequence
+    B = E2E_BATCH
+    breplay = jax.jit(make_batched_e2e_replay(cfg, tc, R_b2c, t_c_b, dtype))
+    tsb = jax.tree.map(lambda x: jnp.stack([x] * B), ts0)
+    vsb = jax.tree.map(lambda x: jnp.stack([x] * B), vs0)
+    _, outs_b = breplay(tsb, vsb, staged)
+    jax.block_until_ready(outs_b["p"])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        _, outs_b = breplay(tsb, vsb, staged)
+    jax.block_until_ready(outs_b["p"])
+    batched_fps = B * n_frames * reps / (time.perf_counter() - t0)
+
+    return {"e2e_fps": round(single_fps, 1),
+            "e2e_fps_batched": round(batched_fps, 1),
+            "e2e_batch": B, "ate_m": ours_ate}
+
+
+def measure_filter_aggregate() -> dict:
+    """Filter-only (no front end) aggregate frames/s/chip over a vmapped
+    batch of synthetic sequences — the backend serving configuration,
+    comparable against the reference's backend-only time split."""
     import jax
     import jax.numpy as jnp
 
@@ -24,10 +228,11 @@ def main():
     from orcvio_tpu.filter.pipeline import filter_step
 
     dtype = jnp.float32
+    B, n_frames = 16, 200
     cfg, st, frames, chi2 = ge._build(
         dict(sw_size=20, max_features=150, max_track_len=6, imu_slab=12,
              observation_noise=0.004, tri_translation_threshold=-1.0),
-        dict(n_frames=200, n_landmarks=400, max_obs=60, imu_slab=12, seed=0),
+        dict(n_frames=n_frames, n_landmarks=400, max_obs=60, imu_slab=12, seed=0),
         dtype,
     )
 
@@ -35,28 +240,53 @@ def main():
         def step(s, f):
             s2, out = filter_step(cfg, s, f, chi2)
             return s2, out.p
-
         return jax.lax.scan(step, state, seq)
 
-    replay_j = jax.jit(replay)
-    # compile + warm up
-    out_state, ps = replay_j(st, frames)
+    replay_b = jax.jit(jax.vmap(replay, in_axes=(0, None)))
+    st_b = jax.tree.map(lambda x: jnp.stack([x] * B), st)
+    _, ps = replay_b(st_b, frames)
     jax.block_until_ready(ps)
-
-    n_frames = int(frames.t.shape[0])
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
-        out_state, ps = replay_j(st, frames)
+        _, ps = replay_b(st_b, frames)
     jax.block_until_ready(ps)
-    dt = (time.perf_counter() - t0) / reps
-    fps = n_frames / dt
+    fps = B * n_frames * reps / (time.perf_counter() - t0)
+    return {"filter_fps_batched": round(fps, 1), "filter_batch": B}
 
+
+def main():
+    seq_root_full, have_frames = ensure_bench_seq()
+    n = min(BENCH_FRAMES, have_frames)
+    seq_root = truncate_seq(seq_root_full, n) if have_frames > n else seq_root_full
+
+    ref = measure_reference(seq_root)
+    ref_ate = reference_ate(seq_root)
+    ours = measure_ours(seq_root, n)
+    filt = measure_filter_aggregate()
+
+    ref_fps = float(ref.get("fps", REF_FALLBACK["fps"]))
+    ref_backend_fps = (
+        round(float(ref["frames"]) / float(ref["backend_s"]), 1)
+        if "frames" in ref and "backend_s" in ref else
+        round(3600 / REF_FALLBACK["backend_s"], 1))
+    value = ours["e2e_fps_batched"]
     print(json.dumps({
-        "metric": "vio_filter_frames_per_sec_per_chip",
-        "value": round(fps, 1),
+        "metric": "e2e_frames_per_sec_per_chip",
+        "value": value,
         "unit": "frames/s",
-        "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 2),
+        "vs_baseline": round(value / ref_fps, 2),
+        "baseline_ref_cpp_fps_measured": round(ref_fps, 2),
+        "baseline_note": ref.get("note", ""),
+        "e2e_fps_single": ours["e2e_fps"],
+        "e2e_batch": ours["e2e_batch"],
+        "filter_only_fps_batched": filt["filter_fps_batched"],
+        "filter_only_batch": filt["filter_batch"],
+        "ref_backend_only_fps": ref_backend_fps,
+        "filter_vs_ref_backend": round(filt["filter_fps_batched"] / ref_backend_fps, 2),
+        "ate_m_ours": ours["ate_m"],
+        "ate_m_ref": ref_ate,
+        "bench_frames": n,
     }))
 
 

@@ -5,13 +5,14 @@ TPU-native equivalent of the reference's cv::calcOpticalFlowPyrLK calls
 
 Design note (why no gathers): a direct port samples ~10M scattered pixels per
 frame through gather ops, which lower to XLA's slow path on TPU (measured
-660 ms/frame). Instead, every patch/window read is expressed as a separable
-one-hot MATMUL: a patch at subpixel center c is  W_y(c) @ img @ W_x(c)^T
-where W_y is (P, H) with two bilinear-weighted nonzeros per row — batched
-over features this is a (N*P, H) x (H, W) MXU contraction. The LK iterations
-then run entirely inside a per-feature search window extracted once per
-level, so the per-iteration resample is a tiny (P, Wd) x (Wd, Wd) batched
-matmul. Same math as the reference; ~100x faster on TPU.
+660 ms/frame). Instead, every patch read is a per-feature integer-origin
+WINDOW COPY (ops/window_extract.py — a zero-FLOP Pallas VMEM slice kernel on
+TPU, `lax.dynamic_slice` on CPU) followed by a tiny in-window bilinear
+resample expressed as separable one-hot matmuls over the (Wd, Wd) window:
+a patch at subpixel center c is  W_y(c) @ win @ W_x(c)^T  where W_y is
+(P, Wd) with two bilinear-weighted nonzeros per row. The LK iterations run
+entirely inside the per-feature search window extracted once per level, so
+each iteration is a tiny batched matmul. Same math as the reference.
 """
 from __future__ import annotations
 
@@ -19,7 +20,9 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
+from ..ops.window_extract import padded_windows
 from .image import gradients
 
 
@@ -45,27 +48,29 @@ def _axis_weights(coord, size, taps):
 
 
 def extract_patches(img, centers, taps):
-    """Bilinear patches at subpixel centers via separable one-hot matmuls.
+    """Bilinear patches at subpixel centers: window copy + local resample.
 
-    img: (H, W); centers: (N, 2) xy; taps: (P,) integer offsets.
+    img: (H, W); centers: (N, 2) xy; taps: (P,) integer offsets (concrete).
     Returns (N, P, P) patches (row index = y tap, col index = x tap).
     """
-    H, W = img.shape
-    wy = _axis_weights(centers[:, 1], H, taps)  # (N, P, H)
-    wx = _axis_weights(centers[:, 0], W, taps)  # (N, P, W)
-    with jax.default_matmul_precision("highest"):
-        rows = jnp.einsum("nph,hw->npw", wy, img)  # (N, P, W)
-        return jnp.einsum("npw,nqw->npq", rows, wx)  # (N, P, P)
+    taps = np.asarray(taps)  # static offsets — keep them out of the trace
+    P = int(taps.shape[0])
+    t0 = int(taps[0])
+    Wd = P + 1  # one extra row/col for the bilinear upper tap
+    win, origin = padded_windows(img[None], centers, t0, Wd)
+    return _local_sample(win[0], centers - origin, taps)
 
 
-def _local_sample(windows, local_xy, taps, Wd):
+def _local_sample(windows, local_xy, taps):
     """Bilinear patch resample inside small per-feature windows.
 
-    windows: (N, Wd, Wd); local_xy: (N, 2) window-frame center.
-    Returns (N, P, P). Small batched matmuls — negligible FLOPs.
+    windows: (N, Wy, Wx) — possibly taller than the logical window
+    (tiling-padded rows hold valid pixels); local_xy: (N, 2) window-frame
+    center. Returns (N, P, P). Small batched matmuls — negligible FLOPs.
     """
-    wy = _axis_weights(local_xy[:, 1], Wd, taps)  # (N, P, Wd)
-    wx = _axis_weights(local_xy[:, 0], Wd, taps)
+    Wy, Wx = windows.shape[-2:]
+    wy = _axis_weights(local_xy[:, 1], Wy, taps)  # (N, P, Wy)
+    wx = _axis_weights(local_xy[:, 0], Wx, taps)
     with jax.default_matmul_precision("highest"):
         rows = jnp.einsum("npw,nwv->npv", wy, windows)  # (N, P, Wd)
         return jnp.einsum("npv,nqv->npq", rows, wx)
@@ -83,12 +88,16 @@ def track_level(img0, img1, xy0, xy1_init, patch: int, iters: int, eps: float,
     dtype = img0.dtype
     H, W = img0.shape
     r = (patch - 1) // 2
-    taps = jnp.arange(-r, r + 1)
+    taps = np.arange(-r, r + 1)
     Ix, Iy = gradients(img0)
 
-    # template + gradient patches at p0 (3 extractions, batched)
+    # template + gradient patches at p0: one 3-channel window copy, then
+    # three tiny in-window resamples at the shared subpixel center
     big = jnp.stack([img0, Ix, Iy])  # (3, H, W)
-    ext = jax.vmap(lambda im: extract_patches(im, xy0, taps))(big)
+    Wt = patch + 1
+    wins0, origin0 = padded_windows(big, xy0, -r, Wt)  # (3, N, Wt, Wt)
+    local0 = xy0 - origin0
+    ext = jax.vmap(lambda w: _local_sample(w, local0, taps))(wins0)
     t, gx, gy = ext[0], ext[1], ext[2]  # (N, P, P)
 
     a11 = jnp.sum(gx * gx, axis=(1, 2))
@@ -100,15 +109,9 @@ def track_level(img0, img1, xy0, xy1_init, patch: int, iters: int, eps: float,
 
     # integer search windows in img1 around the initial guess
     Wd = patch + 2 * search_radius + 2  # +2: bilinear needs one extra col/row
-    wtaps = jnp.arange(-(Wd // 2), Wd - Wd // 2)
     c_int = jnp.round(xy1_init)
-    iw = _axis_weights(c_int[:, 1], H, wtaps)  # one-hot (integer centers)
-    ix = _axis_weights(c_int[:, 0], W, wtaps)
-    with jax.default_matmul_precision("highest"):
-        rows = jnp.einsum("nph,hw->npw", iw, img1)
-        windows = jnp.einsum("npw,nqw->npq", rows, ix)  # (N, Wd, Wd)
-
-    origin = c_int - (Wd // 2)  # window (0,0) in image coords
+    wins1, origin = padded_windows(img1[None], c_int, -(Wd // 2), Wd)
+    windows = wins1[0]  # (N, Wd, Wd)
     lo = jnp.asarray(0.0, dtype)
     hi = jnp.asarray(Wd - 1.001, dtype)
 
@@ -116,7 +119,7 @@ def track_level(img0, img1, xy0, xy1_init, patch: int, iters: int, eps: float,
         p1, _ = carry
         local = p1 - origin
         local = jnp.clip(local, lo + r, hi - r)
-        cur = _local_sample(windows, local, taps, Wd)
+        cur = _local_sample(windows, local, taps)
         err = cur - t
         b1 = jnp.sum(gx * err, axis=(1, 2))
         b2 = jnp.sum(gy * err, axis=(1, 2))
@@ -129,7 +132,7 @@ def track_level(img0, img1, xy0, xy1_init, patch: int, iters: int, eps: float,
     (p1, dnorm), _ = jax.lax.scan(
         it, (xy1_init, jnp.full((xy0.shape[0],), jnp.inf, dtype)), None, length=iters
     )
-    cur = _local_sample(windows, p1 - origin, taps, Wd)
+    cur = _local_sample(windows, p1 - origin, taps)
     res = jnp.mean(jnp.abs(cur - t), axis=(1, 2))
     # interior check: iterate not pinned to the window clamp boundary
     local = p1 - origin

@@ -35,7 +35,7 @@ _PATTERN = make_pattern()
 def _keypoint_patches(img, xy):
     """(N, 33, 33) pixel patches via separable one-hot matmuls (no gathers —
     see klt.py's design note; scattered gathers are the TPU slow path)."""
-    taps = jnp.arange(-_R, _R + 1)
+    taps = np.arange(-_R, _R + 1)
     return extract_patches(img, xy, taps)
 
 
