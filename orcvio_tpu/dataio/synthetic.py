@@ -87,7 +87,7 @@ def imu_measurements(sim: SimConfig, t):
     return gyro, acc
 
 
-def make_landmarks(sim: SimConfig):
+def _landmarks_np(sim: SimConfig):
     rng = np.random.default_rng(sim.seed)
     # ring of landmarks around / outside the circle, various heights
     ang = rng.uniform(0, 2 * np.pi, sim.n_landmarks)
@@ -97,7 +97,115 @@ def make_landmarks(sim: SimConfig):
     # recentre roughly on the circle's center (0, r)
     pts[:, 1] = rng.uniform(-3.0, sim.radius * 2 + 3.0, sim.n_landmarks)
     pts[:, 0] = rng.uniform(-sim.radius - 4, sim.radius + 4, sim.n_landmarks)
-    return jnp.asarray(pts)
+    return pts
+
+
+def make_landmarks(sim: SimConfig):
+    return jnp.asarray(_landmarks_np(sim))
+
+
+# ---------------------------------------------------------------------------
+# Host-side (numpy f64) trajectory evaluation.
+#
+# generate() must run entirely on the host: on the tunneled TPU backend every
+# eager op dispatch costs ~1 s of compile latency and the FIRST device->host
+# readback of a process costs 60-90 s, so a generator that mixes small jax
+# calls with numpy post-processing takes minutes for even a 4-frame sequence
+# (measured round 2). The analytic trajectory is closed-form, so poses are
+# evaluated in numpy f64 and the IMU comes from high-order central finite
+# differences — truncation ~1e-8, far below the smallest configured
+# measurement noise, and *more* accurate than the previous f32 on-device
+# autodiff. The jax trajectory_pose/imu_measurements above remain the
+# differentiable reference implementations (cross-checked in tests).
+# ---------------------------------------------------------------------------
+
+
+def _warp_time_np(sim: SimConfig, t):
+    if sim.static_time <= 0:
+        return t
+    u = np.clip((t - sim.static_time) / sim.ramp_time, 0.0, 1.0)
+    w = u * u * u * (10.0 - 15.0 * u + 6.0 * u * u)
+    return (t - sim.static_time) * w
+
+
+def _so3_exp_np(w):
+    """Rodrigues, vectorized: w (..., 3) -> (..., 3, 3), f64-safe near 0."""
+    th = np.linalg.norm(w, axis=-1, keepdims=True)[..., None]  # (..., 1, 1)
+    K = np.zeros(w.shape[:-1] + (3, 3))
+    K[..., 0, 1], K[..., 0, 2] = -w[..., 2], w[..., 1]
+    K[..., 1, 0], K[..., 1, 2] = w[..., 2], -w[..., 0]
+    K[..., 2, 0], K[..., 2, 1] = -w[..., 1], w[..., 0]
+    small = th < 1e-8
+    th_s = np.where(small, 1.0, th)
+    a = np.where(small, 1.0 - th**2 / 6.0, np.sin(th_s) / th_s)
+    b = np.where(small, 0.5 - th**2 / 24.0, (1.0 - np.cos(th_s)) / th_s**2)
+    eye = np.broadcast_to(np.eye(3), K.shape)
+    return eye + a * K + b * (K @ K)
+
+
+def trajectory_pose_np(sim: SimConfig, t):
+    """Numpy-f64 analytic pose, vectorized over t: (..., 3, 3), (..., 3)."""
+    t = _warp_time_np(sim, np.asarray(t, np.float64))
+    w = sim.omega
+    p = np.stack(
+        [
+            sim.radius * np.sin(w * t),
+            sim.radius * (1.0 - np.cos(w * t)),
+            sim.height + 0.4 * np.sin(0.7 * w * t) * np.ones_like(t),
+        ],
+        axis=-1,
+    )
+    yaw = w * t
+    roll = 0.15 * np.sin(1.3 * w * t)
+    pitch = 0.12 * np.sin(0.9 * w * t + 0.5)
+    zero = np.zeros_like(yaw)
+    R = _so3_exp_np(np.stack([zero, zero, yaw], -1)) @ _so3_exp_np(
+        np.stack([roll, pitch, zero], -1)
+    )
+    return R, p
+
+
+# 5-point central-difference stencils (f64): first derivative O(h^4), second
+# derivative O(h^4); h chosen so truncation ~ roundoff ~ 1e-9.
+_FD1 = (np.array([1.0, -8.0, 8.0, -1.0]) / 12.0, np.array([-2, -1, 1, 2]), 1e-4)
+_FD2 = (np.array([-1.0, 16.0, -30.0, 16.0, -1.0]) / 12.0, np.array([-2, -1, 0, 1, 2]), 1e-3)
+
+
+def velocity_np(sim: SimConfig, t):
+    """dp/dt by finite differences; vectorized over t -> (..., 3)."""
+    c, off, h = _FD1
+    t = np.asarray(t, np.float64)
+    return sum(
+        ci * trajectory_pose_np(sim, t + oi * h)[1] for ci, oi in zip(c, off)
+    ) / h
+
+
+def imu_np(sim: SimConfig, t):
+    """Exact-trajectory gyro/accel via f64 finite differences; vectorized.
+
+    gyro = vee(R^T dR/dt);  acc = R^T (d2p/dt2 - g).
+    """
+    t = np.asarray(t, np.float64)
+    c1, off1, h1 = _FD1
+    Rdot = sum(
+        ci * trajectory_pose_np(sim, t + oi * h1)[0] for ci, oi in zip(c1, off1)
+    ) / h1
+    c2, off2, h2 = _FD2
+    pddot = sum(
+        ci * trajectory_pose_np(sim, t + oi * h2)[1] for ci, oi in zip(c2, off2)
+    ) / (h2 * h2)
+    R, _ = trajectory_pose_np(sim, t)
+    W = np.swapaxes(R, -1, -2) @ Rdot  # skew(omega_body)
+    gyro = np.stack([W[..., 2, 1], W[..., 0, 2], W[..., 1, 0]], -1)
+    g_w = np.array([0.0, 0.0, -sim.gravity])
+    acc = np.einsum("...ji,...j->...i", R, pddot - g_w)
+    return gyro, acc
+
+
+def initial_state_np(sim: SimConfig):
+    """(R0, p0, v0) at t=0 as numpy — host-only, no device dispatches."""
+    R0, p0 = trajectory_pose_np(sim, 0.0)
+    return R0, p0, velocity_np(sim, 0.0)
 
 
 class SimData(NamedTuple):
@@ -109,32 +217,25 @@ class SimData(NamedTuple):
 
 
 def generate(sim: SimConfig, R_b2c=None, t_c_b=None) -> SimData:
-    """Build the full stacked FrameInput sequence (host-side, numpy speed).
+    """Build the full stacked FrameInput sequence — entirely host-side.
 
-    Generated under HIGHEST matmul precision: on TPU the default bf16 passes
-    degrade the analytic IMU/projection data itself, confounding accuracy
-    measurements of the filter that consumes it."""
-    with jax.default_matmul_precision("highest"):
-        return _generate(sim, R_b2c, t_c_b)
+    Pure numpy f64 (no device dispatches, no readbacks — see the host-side
+    section below for why that matters on the tunneled TPU backend); the
+    result leaves are converted to device arrays once at the end."""
+    return _generate(sim, R_b2c, t_c_b)
 
 
 def _generate(sim: SimConfig, R_b2c=None, t_c_b=None) -> SimData:
-    if R_b2c is None:
-        R_b2c = jnp.eye(3)
-    if t_c_b is None:
-        t_c_b = jnp.zeros(3)
+    R_b2c = np.eye(3) if R_b2c is None else np.asarray(R_b2c, np.float64)
+    t_c_b = np.zeros(3) if t_c_b is None else np.asarray(t_c_b, np.float64)
     rng = np.random.default_rng(sim.seed + 1)
     dt_f = 1.0 / sim.frame_hz
     dt_i = 1.0 / sim.imu_hz
-    lm = make_landmarks(sim)
+    lm_n = _landmarks_np(sim)
 
     frame_ts = (np.arange(sim.n_frames) + 1) * dt_f
 
     # IMU samples per frame: (t_{k-1}, t_k]
-    imu_fn = jax.jit(jax.vmap(lambda t: imu_measurements(sim, t)))
-    pose_fn = jax.jit(jax.vmap(lambda t: trajectory_pose(sim, t)))
-    vel_fn = jax.jit(jax.vmap(jax.jacobian(lambda t: trajectory_pose(sim, t)[1])))
-
     all_imu_t = []
     all_mask = []
     for k, t_img in enumerate(frame_ts):
@@ -145,16 +246,14 @@ def _generate(sim: SimConfig, R_b2c=None, t_c_b=None) -> SimData:
         all_mask.append(mask)
     imu_t = np.stack(all_imu_t)  # (T, S)
     imu_mask = np.stack(all_mask)
-    gyro, acc = imu_fn(jnp.asarray(imu_t.reshape(-1)))
-    gyro = np.asarray(gyro).reshape(sim.n_frames, sim.imu_slab, 3)
-    acc = np.asarray(acc).reshape(sim.n_frames, sim.imu_slab, 3)
+    gyro, acc = imu_np(sim, imu_t.reshape(-1))
+    gyro = gyro.reshape(sim.n_frames, sim.imu_slab, 3)
+    acc = acc.reshape(sim.n_frames, sim.imu_slab, 3)
     gyro = gyro + rng.normal(size=gyro.shape) * sim.gyro_noise
     acc = acc + rng.normal(size=acc.shape) * sim.acc_noise
 
-    gt_R, gt_p = pose_fn(jnp.asarray(frame_ts))
-    gt_v = vel_fn(jnp.asarray(frame_ts))
-    gt_R = np.asarray(gt_R)
-    gt_p = np.asarray(gt_p)
+    gt_R, gt_p = trajectory_pose_np(sim, frame_ts)
+    gt_v = velocity_np(sim, frame_ts)
 
     # observations
     M = sim.max_obs
@@ -162,9 +261,8 @@ def _generate(sim: SimConfig, R_b2c=None, t_c_b=None) -> SimData:
     uvs = np.zeros((sim.n_frames, M, 2))
     uv_vels = np.zeros((sim.n_frames, M, 2))
     meas_mask = np.zeros((sim.n_frames, M), bool)
-    R_b2c_n = np.asarray(R_b2c)
-    t_c_b_n = np.asarray(t_c_b)
-    lm_n = np.asarray(lm)
+    R_b2c_n = R_b2c
+    t_c_b_n = t_c_b
     for k in range(sim.n_frames):
         R_c2w = gt_R[k] @ R_b2c_n.T
         t_cw = gt_p[k] + gt_R[k] @ t_c_b_n
@@ -190,7 +288,8 @@ def _generate(sim: SimConfig, R_b2c=None, t_c_b=None) -> SimData:
         uv_vels=jnp.asarray(uv_vels),
         meas_mask=jnp.asarray(meas_mask),
     )
-    return SimData(frames=frames, gt_R=jnp.asarray(gt_R), gt_p=jnp.asarray(gt_p), gt_v=jnp.asarray(gt_v), landmarks=lm)
+    return SimData(frames=frames, gt_R=jnp.asarray(gt_R), gt_p=jnp.asarray(gt_p),
+                   gt_v=jnp.asarray(gt_v), landmarks=jnp.asarray(lm_n))
 
 
 # ---------------------------------------------------------------------------

@@ -20,6 +20,7 @@ Error-state layout (matches orcvio.cpp:201-222):
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from ..config.core import FilterConfig
@@ -42,9 +43,9 @@ class ImuState(struct.PyTreeNode):
     ba: jnp.ndarray  # (3,)
 
     @classmethod
-    def identity(cls, dtype=jnp.float32):
-        z = jnp.zeros(3, dtype)
-        return cls(R=jnp.eye(3, dtype=dtype), v=z, p=z, bg=z, ba=z)
+    def identity(cls, dtype=jnp.float32, xp=jnp):
+        z = xp.zeros(3, dtype)
+        return cls(R=xp.eye(3, dtype=dtype), v=z, p=z, bg=z, ba=z)
 
 
 class CloneStates(struct.PyTreeNode):
@@ -63,14 +64,14 @@ class CloneStates(struct.PyTreeNode):
     valid: jnp.ndarray  # (SW,) bool
 
     @classmethod
-    def empty(cls, sw: int, dtype=jnp.float32):
+    def empty(cls, sw: int, dtype=jnp.float32, xp=jnp):
         return cls(
-            R=jnp.tile(jnp.eye(3, dtype=dtype), (sw, 1, 1)),
-            p=jnp.zeros((sw, 3), dtype),
-            p_fej=jnp.zeros((sw, 3), dtype),
-            t=jnp.zeros((sw,), dtype),
-            order=-jnp.ones((sw,), jnp.int32),
-            valid=jnp.zeros((sw,), bool),
+            R=xp.tile(xp.eye(3, dtype=dtype), (sw, 1, 1)),
+            p=xp.zeros((sw, 3), dtype),
+            p_fej=xp.zeros((sw, 3), dtype),
+            t=xp.zeros((sw,), dtype),
+            order=-xp.ones((sw,), xp.int32),
+            valid=xp.zeros((sw,), bool),
         )
 
 
@@ -96,17 +97,17 @@ class FeatureTable(struct.PyTreeNode):
     idp: jnp.ndarray  # (F, 3) inverse-depth params (alpha, beta, rho) in anchor cam
 
     @classmethod
-    def empty(cls, f_cap: int, sw: int, dtype=jnp.float32):
+    def empty(cls, f_cap: int, sw: int, dtype=jnp.float32, xp=jnp):
         return cls(
-            uv=jnp.zeros((f_cap, sw, 2), dtype),
-            uv_vel=jnp.zeros((f_cap, sw, 2), dtype),
-            uv_valid=jnp.zeros((f_cap, sw), bool),
-            fid=-jnp.ones((f_cap,), jnp.int32),
-            active=jnp.zeros((f_cap,), bool),
-            in_state=jnp.zeros((f_cap,), bool),
-            state_slot=-jnp.ones((f_cap,), jnp.int32),
-            anchor_slot=-jnp.ones((f_cap,), jnp.int32),
-            idp=jnp.zeros((f_cap, 3), dtype),
+            uv=xp.zeros((f_cap, sw, 2), dtype),
+            uv_vel=xp.zeros((f_cap, sw, 2), dtype),
+            uv_valid=xp.zeros((f_cap, sw), bool),
+            fid=-xp.ones((f_cap,), xp.int32),
+            active=xp.zeros((f_cap,), bool),
+            in_state=xp.zeros((f_cap,), bool),
+            state_slot=-xp.ones((f_cap,), xp.int32),
+            anchor_slot=-xp.ones((f_cap,), xp.int32),
+            idp=xp.zeros((f_cap, 3), dtype),
         )
 
 
@@ -122,14 +123,14 @@ class NuiClones(struct.PyTreeNode):
     valid: jnp.ndarray  # (N,)
 
     @classmethod
-    def empty(cls, n: int, dtype=jnp.float32):
+    def empty(cls, n: int, dtype=jnp.float32, xp=jnp):
         # at least one (masked) row: zero-size leaves break orbax checkpoints
         m = max(n, 1)
         return cls(
-            R=jnp.tile(jnp.eye(3, dtype=dtype), (m, 1, 1)),
-            p=jnp.zeros((m, 3), dtype),
-            t=jnp.zeros((m,), dtype),
-            valid=jnp.zeros((m,), bool),
+            R=xp.tile(xp.eye(3, dtype=dtype), (m, 1, 1)),
+            p=xp.zeros((m, 3), dtype),
+            t=xp.zeros((m,), dtype),
+            valid=xp.zeros((m,), bool),
         )
 
 
@@ -160,29 +161,42 @@ class FilterState(struct.PyTreeNode):
 
     @classmethod
     def create(cls, cfg: FilterConfig, dtype=jnp.float32):
-        imu = ImuState.identity(dtype)
-        D = cfg.state_dim
-        P = jnp.diag(jnp.asarray(cfg.initial_cov_diag(), dtype))
+        return cls._create(cfg, dtype, jnp)
+
+    @classmethod
+    def create_host(cls, cfg: FilterConfig, dtype=np.float32):
+        """Numpy-leaf state: zero device dispatches/compiles at setup time.
+
+        On the tunneled TPU backend every eager op costs ~1 s of compile
+        latency, so the ~40 ops of create() take >10 s there; host leaves
+        are transferred by the first jit call that consumes the state.
+        """
+        return cls._create(cfg, np.dtype(dtype), np)
+
+    @classmethod
+    def _create(cls, cfg: FilterConfig, dtype, xp):
+        imu = ImuState.identity(dtype, xp)
+        P = xp.diag(xp.asarray(cfg.initial_cov_diag(), dtype))
         return cls(
-            t=jnp.zeros((), dtype),
+            t=xp.zeros((), dtype),
             imu=imu,
             imu_old=imu,
             imu_fej_now=imu,
             imu_fej_old=imu,
-            td=jnp.asarray(cfg.td, dtype),
-            R_b2c=jnp.eye(3, dtype=dtype),
-            t_c_b=jnp.zeros(3, dtype),
-            clones=CloneStates.empty(cfg.sw_size, dtype),
-            features=FeatureTable.empty(cfg.max_features, cfg.sw_size, dtype),
+            td=xp.asarray(cfg.td, dtype),
+            R_b2c=xp.eye(3, dtype=dtype),
+            t_c_b=xp.zeros(3, dtype),
+            clones=CloneStates.empty(cfg.sw_size, dtype, xp),
+            features=FeatureTable.empty(cfg.max_features, cfg.sw_size, dtype, xp),
             P=P,
-            next_order=jnp.zeros((), jnp.int32),
-            initialized=jnp.zeros((), bool),
-            last_gyro=jnp.zeros(3, dtype),
-            last_acc=jnp.zeros(3, dtype),
-            nui=NuiClones.empty(cfg.nuisance_cap, dtype),
-            Tg=jnp.eye(3, dtype=dtype),
-            As=jnp.zeros((3, 3), dtype),
-            Ma=jnp.eye(3, dtype=dtype),
+            next_order=xp.zeros((), xp.int32),
+            initialized=xp.zeros((), bool),
+            last_gyro=xp.zeros(3, dtype),
+            last_acc=xp.zeros(3, dtype),
+            nui=NuiClones.empty(cfg.nuisance_cap, dtype, xp),
+            Tg=xp.eye(3, dtype=dtype),
+            As=xp.zeros((3, 3), dtype),
+            Ma=xp.eye(3, dtype=dtype),
         )
 
 
