@@ -54,13 +54,23 @@ def detect_grid(img, n_per_cell: int, grid_rows: int, grid_cols: int,
     xx = jnp.arange(W)[None, :]
     inb = (yy >= border) & (yy < H - border) & (xx >= border) & (xx < W - border)
     score = jnp.where(inb, score, 0.0)
-    # occupied-area suppression
+    # occupied-area suppression: scatter occupied points into a binary map and
+    # dilate by a (2r+1) square via two separable max reduce_windows — O(H*W)
+    # instead of the O(N*H*W) per-feature distance tensor (a ~290 MB
+    # intermediate at bench shapes). A square of half-width r contains the
+    # reference's painted disc of radius r (image_processor.cpp:1021-1042);
+    # slightly stronger suppression, same intent.
     if occupied_xy is not None:
-        d2 = (xx[None].astype(img.dtype) - occupied_xy[:, 0, None, None]) ** 2 + (
-            yy[None].astype(img.dtype) - occupied_xy[:, 1, None, None]
-        ) ** 2
-        near = (d2 < min_distance * min_distance) & occupied_mask[:, None, None]
-        score = jnp.where(jnp.any(near, axis=0), 0.0, score)
+        r = jnp.int32(min_distance)
+        ix = jnp.clip(occupied_xy[:, 0].astype(jnp.int32), 0, W - 1)
+        iy = jnp.clip(occupied_xy[:, 1].astype(jnp.int32), 0, H - 1)
+        occ = jnp.zeros((H, W), img.dtype).at[iy, ix].max(
+            occupied_mask.astype(img.dtype), mode="drop"
+        )
+        k = 2 * int(min_distance) + 1
+        occ = jax.lax.reduce_window(occ, -jnp.inf, jax.lax.max, (k, 1), (1, 1), "SAME")
+        occ = jax.lax.reduce_window(occ, -jnp.inf, jax.lax.max, (1, k), (1, 1), "SAME")
+        score = jnp.where(occ > 0, 0.0, score)
 
     thresh = quality * jnp.max(score)
     score = jnp.where(score > thresh, score, 0.0)

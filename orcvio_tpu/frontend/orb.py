@@ -94,4 +94,9 @@ def describe(img, xy, angles=None, pattern=_PATTERN):
 def hamming(d1, d2):
     """Bitwise Hamming distance between (N, 8) uint32 descriptor arrays."""
     x = jnp.bitwise_xor(d1, d2)
-    return jnp.sum(jax.lax.population_count(x), axis=-1)
+    # SWAR popcount: lax.population_count lowers poorly on TPU for u32
+    v = x - ((x >> 1) & jnp.uint32(0x55555555))
+    v = (v & jnp.uint32(0x33333333)) + ((v >> 2) & jnp.uint32(0x33333333))
+    v = (v + (v >> 4)) & jnp.uint32(0x0F0F0F0F)
+    per_word = (v * jnp.uint32(0x01010101)) >> 24
+    return jnp.sum(per_word.astype(jnp.int32), axis=-1)

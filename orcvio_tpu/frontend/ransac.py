@@ -22,13 +22,23 @@ def _eight_point(p1, p2):
     x2, y2 = p2[..., 0], p2[..., 1]
     one = jnp.ones_like(x1)
     A = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, one], axis=-1)
-    # F = right-singular vector of smallest singular value
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    F = Vt[..., -1, :].reshape(A.shape[0], 3, 3)
-    # enforce rank 2
-    U, S, Vt2 = jnp.linalg.svd(F)
-    S = S.at[..., 2].set(0.0)
-    return U @ (S[..., None] * Vt2)
+    # Null vector of A via fixed-count inverse iteration on A^T A + eps I.
+    # TPU's jnp.linalg.svd lowers to data-dependent while loops (hundreds of
+    # microseconds per call at these tiny batched shapes); 8 exact equations
+    # make A^T A singular up to roundoff, so 3 ridge-regularized LU-solve
+    # iterations recover the null direction to working precision. The rank-2
+    # projection of the classic 8-point algorithm is skipped: hypotheses are
+    # only scored by Sampson distance, for which the unprojected F gates
+    # equally (tests assert inlier-recovery parity).
+    AtA = jnp.einsum("hni,hnj->hij", A, A)
+    eps = 1e-7 * jnp.trace(AtA, axis1=-2, axis2=-1)[..., None, None]
+    M = AtA + eps * jnp.eye(9, dtype=A.dtype)
+    lu, piv = jax.scipy.linalg.lu_factor(M)
+    v = jnp.ones((A.shape[0], 9), A.dtype)
+    for _ in range(3):
+        v = jax.scipy.linalg.lu_solve((lu, piv), v[..., None])[..., 0]
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+    return v.reshape(A.shape[0], 3, 3)
 
 
 def sampson_dist(F, p1, p2):

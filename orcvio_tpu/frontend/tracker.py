@@ -122,31 +122,39 @@ def process_frame(tc: TrackerConfig, ts: TrackerState, img, t, mean_gyro, R_b2c)
     )
     tracked = have_prev & klt.ok
 
-    # --- ORB descriptor gate (<= 58 of 256 bits) ---
-    new_desc = orb.describe(pyr[0], klt.xy)
+    # --- re-detection candidates (independent of the gates below, so it can
+    #     run concurrently; suppression near predicted tracked positions) ---
+    det_xy, det_sc, det_ok = detect_grid(
+        img, tc.per_cell, tc.grid_rows, tc.grid_cols,
+        occupied_xy=klt.xy, occupied_mask=tracked,
+        min_distance=tc.min_distance,
+    )
+    C = det_xy.shape[0]
+    det_order = jnp.argsort(-det_sc)  # best first
+    det_xy_s = det_xy[det_order]
+    det_ok_s = det_ok[det_order]
+
+    # --- ORB descriptors: one fused pass over tracked positions + detections
+    #     (two separate describe calls double the window-extract fixed cost) ---
+    desc_cat = orb.describe(pyr[0], jnp.concatenate([klt.xy, det_xy_s], axis=0))
+    new_desc = desc_cat[:N]
+    det_desc = desc_cat[N:]
     ham = orb.hamming(ts.desc, new_desc)
     tracked = tracked & (ham <= tc.orb_threshold)
 
     # --- undistort + RANSAC gate on normalized coords ---
-    uvn_new = undistort_pixels(klt.xy, tc.K, tc.dist_model, tc.dist_coeffs).astype(dtype)
+    uvn_all = undistort_pixels(
+        jnp.concatenate([klt.xy, det_xy_s], axis=0), tc.K, tc.dist_model, tc.dist_coeffs
+    ).astype(dtype)
+    uvn_new, det_uvn = uvn_all[:N], uvn_all[N:]
     key, sub = jax.random.split(ts.rng)
     inl, _F = ransac_fundamental(ts.uvn, uvn_new, tracked, sub, thresh=tc.ransac_thresh)
     tracked = tracked & inl
 
-    # --- re-detection into free rows ---
+    # --- place detections into free rows ---
     free = ~tracked
-    occupied_xy = klt.xy
-    det_xy, det_sc, det_ok = detect_grid(
-        img, tc.per_cell, tc.grid_rows, tc.grid_cols,
-        occupied_xy=occupied_xy, occupied_mask=tracked,
-        min_distance=tc.min_distance,
-    )
-    C = det_xy.shape[0]
     # rank free rows and detections; strongest detections claim free rows
     free_rank = jnp.cumsum(free) - 1
-    det_order = jnp.argsort(-det_sc)  # best first
-    det_xy_s = det_xy[det_order]
-    det_ok_s = det_ok[det_order]
     det_rank = jnp.cumsum(det_ok_s) - 1
     n_free = jnp.sum(free)
     place = det_ok_s & (det_rank < n_free)
@@ -159,16 +167,15 @@ def process_frame(tc: TrackerConfig, ts: TrackerState, img, t, mean_gyro, R_b2c)
 
     xy = jnp.where(tracked[:, None], klt.xy, 0.0)
     xy = xy.at[rows].set(det_xy_s, mode="drop")
-    det_uvn = undistort_pixels(det_xy_s, tc.K, tc.dist_model, tc.dist_coeffs).astype(dtype)
     uvn = jnp.where(tracked[:, None], uvn_new, 0.0)
     uvn = uvn.at[rows].set(det_uvn, mode="drop")
     new_ids = ts.next_id + jnp.cumsum(place.astype(jnp.int32)) - 1
     fid = jnp.where(tracked, ts.fid, -1)
     fid = fid.at[rows].set(new_ids, mode="drop")
     next_id = ts.next_id + jnp.sum(place).astype(jnp.int32)
-    # describe at final positions (tracked rows keep their fresh descriptor)
-    desc_all = orb.describe(pyr[0], xy)
-    desc = jnp.where(tracked[:, None], new_desc, desc_all)
+    # tracked rows keep their fresh descriptor; placed detections theirs
+    desc = jnp.where(tracked[:, None], new_desc, jnp.zeros_like(new_desc))
+    desc = desc.at[rows].set(det_desc, mode="drop")
 
     # velocities for tracked features (feature_msg u_vel/v_vel)
     dt_safe = jnp.maximum(dt, 1e-6)
