@@ -102,11 +102,18 @@ def log(R):
     """
     R = jnp.asarray(R)
     tr = jnp.trace(R, axis1=-2, axis2=-1)
-    cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0 + 1e-12, 1.0 - 1e-12)
-    theta = jnp.arccos(cos_t)
+    cos_raw = (tr - 1.0) * 0.5
+    # clip strictly inside (-1, 1) in THIS dtype: at exactly +-1 arccos has an
+    # infinite derivative that poisons autodiff through the untaken branch of
+    # the jnp.where below; 4*eps stays representable next to 1 in f32 and f64
+    eps = float(jnp.finfo(R.dtype).eps)
+    theta = jnp.arccos(jnp.clip(cos_raw, -1.0 + 4 * eps, 1.0 - 4 * eps))
     sin_t = jnp.sin(theta)
     v = vee(R - jnp.swapaxes(R, -1, -2))  # = 2 sin(theta) * axis
-    small = cos_t > 1.0 - 1e-9  # theta < ~4.5e-5
+    # dtype-aware small-angle gate on the UNCLIPPED cosine: f32 products of
+    # rotations drift to tr slightly > 3, where fixed 1e-12/1e-9 thresholds
+    # round to 1.0f and the generic branch hits 0/0 (theta/sin both 0)
+    small = cos_raw > 1.0 - max(1e-9, 1e4 * eps)  # theta < ~4.5e-5 (f64) / ~5e-2 (f32)
     near_pi = theta > (jnp.pi - 1e-3)
     # Generic: theta / (2 sin theta) * v
     safe_sin = jnp.where(small | near_pi, 1.0, sin_t)

@@ -38,6 +38,22 @@ class TestSO3:
         w2 = so3.log(R)
         assert jnp.allclose(jnp.abs(w2), jnp.abs(w), atol=1e-6)
 
+    def test_log_f32_drifted_rotation(self):
+        """f32 products of rotations drift off the manifold (trace slightly
+        over 3); log must stay finite and near-correct, not 0/0 -> NaN
+        (regression: gauge stitching in parallel/temporal.py)."""
+        R = np.array(
+            [[9.9999940e-01, -2.9419234e-04, 5.6829798e-05],
+             [2.9405658e-04, 1.0000002e+00, -6.8940601e-05],
+             [-5.6558350e-05, 6.8991991e-05, 1.0000008e+00]], np.float32)
+        w = so3.log(jnp.asarray(R, jnp.float32))
+        assert jnp.isfinite(w).all()
+        assert jnp.allclose(w, jnp.asarray([6.9e-5, 5.7e-5, 2.94e-4]),
+                            atol=2e-6)
+        # exactly-identity input (trace == 3 in f32)
+        w0 = so3.log(jnp.eye(3, dtype=jnp.float32))
+        assert jnp.isfinite(w0).all() and jnp.allclose(w0, 0.0)
+
     def test_left_jacobian_identity(self):
         # exp(w + Jl_inv... ) identity: exp(w + d) ~= exp(Jl(w) d) exp(w)
         w = rand_w(scale=0.7)
