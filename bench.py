@@ -255,6 +255,29 @@ def measure_filter_aggregate() -> dict:
     return {"filter_fps_batched": round(fps, 1), "filter_batch": B}
 
 
+def measure_scaling_efficiency() -> dict:
+    """Weak-scaling efficiency via the 4-process jax.distributed demo
+    (core-isolated single-device workers on the CPU backend — the honest
+    proxy for per-chip scaling on this single-chip machine; the compiled
+    replay is collective-free, see eval/scaling.py)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(here, "scripts", "multihost_scaling.py"),
+             "--procs", "4", "--frames", "150"],
+            capture_output=True, text=True, timeout=900,
+        )
+        for line in reversed(r.stdout.strip().split("\n")):
+            if line.startswith("{"):
+                out = json.loads(line)
+                return {"scaling_efficiency_4host": out["scaling_efficiency"],
+                        "scaling_hosts": out["hosts"]}
+        raise RuntimeError(r.stderr[-300:])
+    except Exception as e:  # noqa: BLE001 — bench must always produce a line
+        return {"scaling_efficiency_4host": float("nan"),
+                "scaling_error": str(e)[:200]}
+
+
 def main():
     seq_root_full, have_frames = ensure_bench_seq()
     n = min(BENCH_FRAMES, have_frames)
@@ -264,16 +287,21 @@ def main():
     ref_ate = reference_ate(seq_root)
     ours = measure_ours(seq_root, n)
     filt = measure_filter_aggregate()
+    scal = measure_scaling_efficiency()
 
     ref_fps = float(ref.get("fps", REF_FALLBACK["fps"]))
     ref_backend_fps = (
         round(float(ref["frames"]) / float(ref["backend_s"]), 1)
         if "frames" in ref and "backend_s" in ref else
         round(3600 / REF_FALLBACK["backend_s"], 1))
-    value = ours["e2e_fps_batched"]
+    # headline = the faster serving configuration: the conv-heavy front end
+    # can saturate the chip at batch 1, in which case batching adds nothing
+    value = max(ours["e2e_fps_batched"], ours["e2e_fps"])
     print(json.dumps({
         "metric": "e2e_frames_per_sec_per_chip",
         "value": value,
+        "e2e_config": ("single" if ours["e2e_fps"] >= ours["e2e_fps_batched"]
+                       else f"batched_x{ours['e2e_batch']}"),
         "unit": "frames/s",
         "vs_baseline": round(value / ref_fps, 2),
         "baseline_ref_cpp_fps_measured": round(ref_fps, 2),
@@ -287,6 +315,7 @@ def main():
         "ate_m_ours": ours["ate_m"],
         "ate_m_ref": ref_ate,
         "bench_frames": n,
+        **scal,
     }))
 
 

@@ -68,16 +68,22 @@ def measure(device_counts, seqs_per_device: int = 2, n_frames: int = 100,
     multihost = maybe_initialize()
     cfg, st, frames, chi2 = _build(n_frames, dtype)
     n_avail = len(jax.devices())
-    device_counts = [n for n in device_counts if n <= n_avail]
+    if multihost:
+        # a mesh must span every process's devices; measure the full cluster
+        # (the launcher compares against a separately-run 1-process baseline)
+        device_counts = [n_avail]
+    else:
+        device_counts = [n for n in device_counts if n <= n_avail]
 
     results = []
     for n_dev in device_counts:
         B = n_dev * seqs_per_device
+        B_local = B // jax.process_count()
         mesh = make_mesh(n_dev)
         states = jax.tree.map(lambda x: np.broadcast_to(
-            np.asarray(x), (B,) + np.asarray(x).shape).copy(), st)
+            np.asarray(x), (B_local,) + np.asarray(x).shape).copy(), st)
         seqs = jax.tree.map(lambda x: np.broadcast_to(
-            np.asarray(x), (B,) + np.asarray(x).shape).copy(), frames)
+            np.asarray(x), (B_local,) + np.asarray(x).shape).copy(), frames)
         if multihost:
             states = local_batch_to_global(states, mesh)
             seqs = local_batch_to_global(seqs, mesh)
@@ -87,6 +93,11 @@ def measure(device_counts, seqs_per_device: int = 2, n_frames: int = 100,
             seqs = shard_batch(seqs, mesh)
             chi2_g = chi2
         fn = sharded_replay_fn(cfg, mesh)
+        compiled = fn.lower(states, seqs, chi2_g).compile()
+        hlo = compiled.as_text()
+        n_collectives = sum(hlo.count(op) for op in
+                            ("all-reduce", "all-gather", "collective-permute",
+                             "all-to-all", "reduce-scatter"))
         out_states, outs = fn(states, seqs, chi2_g)  # compile + warm
         jax.block_until_ready(out_states.P)
         t0 = time.perf_counter()
@@ -94,7 +105,8 @@ def measure(device_counts, seqs_per_device: int = 2, n_frames: int = 100,
             out_states, outs = fn(states, seqs, chi2_g)
         jax.block_until_ready(out_states.P)
         fps = B * n_frames * reps / (time.perf_counter() - t0)
-        results.append({"devices": n_dev, "batch": B, "fps": round(fps, 1)})
+        results.append({"devices": n_dev, "batch": B, "fps": round(fps, 1),
+                        "hot_loop_collectives": n_collectives})
 
     base = results[0]
     for r in results:

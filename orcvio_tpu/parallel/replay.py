@@ -39,9 +39,15 @@ def sharded_replay_fn(cfg: FilterConfig, mesh: Mesh, axis="dp"):
 
     Returns fn(states, frames, chi2) -> (states, outputs) where every leading
     ``B`` axis is sharded over the mesh; the scan over time stays on-device.
+
+    Uses shard_map (explicit per-device SPMD) rather than GSPMD sharding
+    annotations: the per-sequence filter instances are independent, and the
+    partitioner must not get the chance to insert collectives — it does for
+    ``lax.top_k``, whose TopK custom-call it cannot partition, turning the
+    embarrassingly-parallel replay into an all-gather per frame (observed on
+    the CPU backend; eval/scaling.py counts hot-loop collectives to keep
+    this property pinned).
     """
-    batch_sharding = NamedSharding(mesh, P(axis))
-    repl = NamedSharding(mesh, P())
 
     def replay(states, frames, chi2):
         def one(state, seq_frames):
@@ -52,11 +58,20 @@ def sharded_replay_fn(cfg: FilterConfig, mesh: Mesh, axis="dp"):
 
         return jax.vmap(one)(states, frames)
 
-    return jax.jit(
-        replay,
-        in_shardings=(batch_sharding, batch_sharding, repl),
-        out_shardings=(batch_sharding, batch_sharding),
-    )
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    # check_vma=False: filter_step's scans mix fresh constants into carries,
+    # which the varying-manual-axes checker rejects; there are no collectives
+    # for it to validate.
+    return jax.jit(shard_map(
+        replay, mesh=mesh,
+        in_specs=(P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    ))
 
 
 def shard_batch(tree, mesh: Mesh, axis="dp"):
