@@ -33,6 +33,10 @@ class FilterConfig:
     if_zupt: bool = False  # if_ZUPT_valid
     use_schmidt: bool = False  # use_schmidt: keep pruned anchors as nuisance states
     nuisance_cap: int = 0  # static capacity of Schmidt nuisance clone blocks
+    schmidt_reference_semantics: bool = False  # replicate orcvio.cpp:1741-1756
+    # exactly: full-gain (I-KH)P, restore the nuisance diagonal block, then
+    # symmetrize (halving the cross-cov update). Default False = textbook
+    # Schmidt (zero nuisance gain, consistent cross block) — see DEVIATIONS.md
     calib_imu: bool = False  # calib_imu_instrinsic: online Tg/As/Ma estimation
     prediction_only: bool = False  # prediction_only_flag: dead-reckon, no updates
 
@@ -70,7 +74,13 @@ class FilterConfig:
     tri_max_iters: int = 10
     tri_initial_damping: float = 1e-3
 
+    # stacked-update compression: "qr" (reference SPQR analogue) or
+    # "information" (Lambda = H^T H; all-MXU, no tall-skinny QR)
+    update_form: str = "qr"
+
     # gating / pruning
+    prune_last_chance: bool = True  # "last-chance" MSCKF update on observations
+    # dying with pruned clones (pruneImuStateBuffer, orcvio.cpp:2803-2851)
     max_grid_features: int = 0  # hybrid EKF-SLAM grid (0 = pure MSCKF)
     feature_idp_dim: int = 3  # 1 or 3 (1d/3d inverse-depth EKF features)
     ekf_feature_cap: int = 0  # EKF-SLAM feature state capacity (0 = pure MSCKF)

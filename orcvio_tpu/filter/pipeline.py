@@ -7,13 +7,10 @@ designed to be driven by ``lax.scan`` over a trajectory and ``vmap``/shard_map
 over many trajectories.
 
 Deviations from the reference's control flow (documented):
- * The pruning "last-chance" update on observations dying with pruned clones
-   (orcvio.cpp:2803-2851) is not performed; those observations are dropped.
-   Pruned clones are by construction motion-redundant, and with
-   max_track_len << sw_size almost all tracks finish before pruning reaches
-   them.
- * The reference runs the lost-feature update then a second update inside
-   pruning; we run one combined update per frame.
+ * The reference runs the lost-feature update then the pruning "last-chance"
+   update as two separate EKF updates per frame; we do the same when
+   ``prune_last_chance`` is on (the default, matching orcvio.cpp:2803-2851),
+   each update stacked and QR-compressed on its own.
 """
 from __future__ import annotations
 
@@ -100,6 +97,7 @@ def _filter_step(cfg: FilterConfig, state: FilterState, frame: FrameInput, chi2_
 
     # 3b. zero-velocity update (orcvio.cpp:580-590: checkZUPTFeat ->
     #     checkZUPTIMU fallback -> measurementUpdate_ZUPT_vpq)
+    do_zupt = jnp.zeros((), bool)
     if cfg.if_zupt:
         from .zupt import check_zupt_feat, check_zupt_imu, zupt_update
 
@@ -254,6 +252,34 @@ def _filter_step(cfg: FilterConfig, state: FilterState, frame: FrameInput, chi2_
 
     # 8. prune clones when the window is full (pruneImuStateBuffer, :2629)
     prune_mask, _ = select_prune_slots(cfg, state, tracking_rate)
+
+    # 8a. "last-chance" MSCKF update on observations dying with the pruned
+    #     clones (orcvio.cpp:2803-2851): active non-EKF features with >= 2
+    #     observations on pruned slots contribute rows over JUST those
+    #     observations (position triangulated from the full track); skipped
+    #     when a ZUPT fired this frame, exactly like the reference.
+    if cfg.prune_last_chance and not cfg.prediction_only:
+        ft = state.features
+        lc_table = ft.replace(uv_valid=ft.uv_valid & prune_mask[None, :])
+        ct_lc = compact_tracks(lc_table, state.clones.order, cfg.max_track_len)
+        live_lc = (ft.fid >= 0) & ~ft.in_state
+        cand_lc = live_lc & (ct_lc.n_obs >= 2)
+        # triangulate from ALL current observations (initializePosition is
+        # called with the feature's full observation set, orcvio.cpp:2784)
+        ct_all = compact_tracks(ft, state.clones.order, cfg.max_track_len)
+        R_c2w2, t_c_w2 = cam_poses(state)
+        Klc = min(cfg.max_update_features, F)
+        _, lc_idx = jax.lax.top_k(cand_lc.astype(state.P.dtype), Klc)
+        ct_all_k = jax.tree.map(lambda a_: a_[lc_idx], ct_all)
+        motion_lc = check_motion(ct_all_k, R_c2w2, t_c_w2,
+                                 cfg.tri_translation_threshold)
+        tri_lc = triangulate(cfg, ct_all_k, R_c2w2, t_c_w2)
+        ct_lc_k = jax.tree.map(lambda a_: a_[lc_idx], ct_lc)
+        fj_lc = feature_jacobians(cfg, state, ct_lc_k, tri_lc.p_world)
+        gated_lc = gate_features(cfg, state, fj_lc, chi2_table)
+        use_lc = (cand_lc[lc_idx] & motion_lc & tri_lc.valid & fj_lc.usable
+                  & gated_lc & ~do_zupt & jnp.any(prune_mask))
+        state, _ = msckf_update(cfg, state, fj_lc, use_lc)
     if E:
         from .hybrid import remove_state_features as _rm
 

@@ -145,36 +145,88 @@ def gate_features(cfg: FilterConfig, state: FilterState, fj: FeatureJacobians, c
     return gamma < thresh
 
 
-def apply_ekf_update(cfg: FilterConfig, state: FilterState, H, r):
-    """Generic stacked EKF update: QR-compress + Kalman gain + covariance.
+def information_update(cfg: FilterConfig, state: FilterState, Lam, b):
+    """EKF update from the information pair (exact given R = sigma^2 I).
 
-    Ref: measurementUpdate_msckf (orcvio.cpp:1654): dense QR stands in for
-    SPQR (:1664-1683); K^T = S^{-1} H P via Cholesky (LDLT there); Joseph-free
-    (I-KH)P with re-symmetrization, exactly as the reference.
+    Matrix-inversion-lemma form: with Lam_s = Lambda / sigma^2,
+        M  = I + P Lam_s            (nonsingular for any PSD P, Lambda)
+        P' = M^{-1} P,   dx = M^{-1} P b / sigma^2.
+    No factorization of the (usually rank-deficient) Lambda is needed — no
+    ridge, no fake information, exact up to the LU solve. This is the
+    MXU-native alternative to the tall-skinny QR compression (ROADMAP
+    hotspot #7): Lambda/b are pure matmuls and the only sequential op is one
+    D x D LU. It is also the reduction the feature-parallel shard_map path
+    psums over devices.
+
+    The LU runs on a Jacobi-normalized M: an f32 TPU replay can leave P with
+    small negative eigenvalues (matmul roundoff), and column scales of M vary
+    with the information content; partial-pivoted LU on the normalized system
+    stays finite and accurate where a Cholesky would NaN.
+    """
+    D = state.P.shape[0]
+    dtype = state.P.dtype
+    sigma2 = cfg.observation_noise**2
+    M = jnp.eye(D, dtype=dtype) + state.P @ (Lam / sigma2)
+    d = jnp.sqrt(jnp.maximum(jnp.abs(jnp.diagonal(M)), 1e-30))
+    Mn = M / (d[:, None] * d[None, :])
+    # M = D Mn D with D = diag(d)  =>  x = D^-1 Mn^-1 D^-1 rhs
+    rhs = jnp.concatenate([state.P @ (b / sigma2)[:, None], state.P], axis=1)
+    sol = jnp.linalg.solve(Mn, rhs / d[:, None]) / d[:, None]
+    dx = sol[:, 0]
+    Pn = sol[:, 1:]
+    state = increment_state(cfg, state, dx)
+    return state.replace(P=0.5 * (Pn + Pn.T)), dx
+
+
+def apply_ekf_update(cfg: FilterConfig, state: FilterState, H, r):
+    """Generic stacked EKF update: compress + Kalman gain + covariance.
+
+    Ref: measurementUpdate_msckf (orcvio.cpp:1654). Two compression forms:
+     * "qr" — dense QR stands in for SPQR (:1664-1683); K^T = S^{-1} H P via
+       Cholesky (LDLT there); Joseph-free (I-KH)P with re-symmetrization,
+       exactly as the reference.
+     * "information" — Lambda = H^T H / b = H^T r then information_update;
+       all-matmul (MXU) with only D x D factorizations. Equal to "qr" up to
+       the rank-deficiency ridge (tests pin the equivalence). Not combined
+       with Schmidt (the nuisance gain zeroing needs the explicit row form).
     """
     D = state.P.shape[0]
     sigma2 = cfg.observation_noise**2
+    if cfg.update_form == "information" and not (
+            cfg.use_schmidt and cfg.nuisance_cap > 0):
+        return information_update(cfg, state, H.T @ H, H.T @ r)
     H_thin, r_thin = linalg.qr_compress(H, r)
     S = H_thin @ state.P @ H_thin.T + sigma2 * jnp.eye(H_thin.shape[0], dtype=state.P.dtype)
     chol = jax.scipy.linalg.cho_factor(S, lower=True)
     K_T = jax.scipy.linalg.cho_solve(chol, H_thin @ state.P)
     K = K_T.T
     schmidt = cfg.use_schmidt and cfg.nuisance_cap > 0
-    if schmidt:
-        # Schmidt gain: nuisance rows get no correction (orcvio.cpp:1741-1756
-        # restores the nuisance block; textbook Schmidt zeroes K_n, which
-        # keeps P_nn frozen and updates the cross-covariance consistently)
+    ref_schmidt = schmidt and cfg.schmidt_reference_semantics
+    if schmidt and not ref_schmidt:
+        # textbook Schmidt: nuisance rows get no correction, keeping P_nn
+        # frozen and the cross-covariance consistent with the zero gain
         nb = D - 6 * cfg.nuisance_cap
         K = K.at[nb:].set(0.0)
     dx = K @ r_thin
     state = increment_state(cfg, state, dx)
     I_KH = jnp.eye(D, dtype=state.P.dtype) - K @ H_thin
-    P = I_KH @ state.P
-    if schmidt:
+    if ref_schmidt:
+        # reference semantics (orcvio.cpp:1741-1756): full-gain (I-KH)P,
+        # restore the old nuisance diagonal block, then symmetrize — the
+        # averaging halves the one-sided cross-covariance update. The mean
+        # increments are identical either way (nuisance means are frozen and
+        # the active rows of K do not depend on K_n).
         nb = D - 6 * cfg.nuisance_cap
-        # nuisance rows kept old P_na; mirror the updated active-nuisance
-        # cross block for exact symmetry
-        P = P.at[nb:, :nb].set(P[:nb, nb:].T)
+        P_nn = state.P[nb:, nb:]
+        P = I_KH @ state.P
+        P = P.at[nb:, nb:].set(P_nn)
+    else:
+        P = I_KH @ state.P
+        if schmidt:
+            nb = D - 6 * cfg.nuisance_cap
+            # nuisance rows kept old P_na; mirror the updated active-nuisance
+            # cross block for exact symmetry
+            P = P.at[nb:, :nb].set(P[:nb, nb:].T)
     P = 0.5 * (P + P.T)
     return state.replace(P=P), dx
 

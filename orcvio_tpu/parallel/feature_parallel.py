@@ -23,8 +23,12 @@ from ..config.core import FilterConfig
 from ..filter.state import FilterState
 from ..filter.tracks import CompactTracks
 from ..filter.triangulation import triangulate
-from ..filter.update import FeatureJacobians, feature_jacobians, gate_features
-from ..filter.augment import cam_poses, increment_state
+from ..filter.update import (
+    FeatureJacobians,
+    feature_jacobians,
+    gate_features,
+    information_update,
+)
 
 
 def information_from_jacobians(fj: FeatureJacobians, use_mask):
@@ -34,39 +38,6 @@ def information_from_jacobians(fj: FeatureJacobians, use_mask):
     Hm = H.reshape(-1, H.shape[-1])
     rm = r.reshape(-1)
     return Hm.T @ Hm, Hm.T @ rm
-
-
-def information_update(cfg: FilterConfig, state: FilterState, Lam, b, ridge=None):
-    """EKF update from the information pair (exact given R = sigma^2 I).
-
-    H_eff = chol(Lambda)^T has H_eff^T H_eff = Lambda, so the standard
-    S-form update with (H_eff, r_eff = L^{-1} b) equals the stacked update
-    (matrix-inversion-lemma identity). A relative ridge (scaled to the dtype's
-    epsilon — Lambda is usually rank-deficient) keeps the Cholesky well-posed.
-    """
-    D = state.P.shape[0]
-    dtype = state.P.dtype
-    if ridge is None:
-        ridge = 1e-4 if dtype == jnp.float32 else 1e-9
-    sigma2 = cfg.observation_noise**2
-    scale = jnp.maximum(jnp.trace(Lam) / D, 1e-12)
-    Lr = jnp.linalg.cholesky(Lam + (ridge * scale) * jnp.eye(D, dtype=dtype))
-    H_eff = Lr.T
-    r_eff = jax.scipy.linalg.solve_triangular(Lr, b, lower=True)
-    S = H_eff @ state.P @ H_eff.T + sigma2 * jnp.eye(D, dtype=dtype)
-    # Jacobi-preconditioned LU solve. An f32 TPU replay can leave P with
-    # small negative eigenvalues (matmul roundoff, observed -4e-4 vs
-    # sigma2 = 1.6e-5), making S slightly indefinite — Cholesky NaNs there,
-    # LU with partial pivoting stays finite and equally accurate.
-    dS = jnp.sqrt(jnp.maximum(jnp.diag(S), 1e-30))
-    Sn = S / (dS[:, None] * dS[None, :])
-    K_T = jnp.linalg.solve(Sn, (H_eff @ state.P) / dS[:, None]) / dS[:, None]
-    K = K_T.T
-    dx = K @ r_eff
-    state = increment_state(cfg, state, dx)
-    I_KH = jnp.eye(D, dtype=dtype) - K @ H_eff
-    Pn = I_KH @ state.P
-    return state.replace(P=0.5 * (Pn + Pn.T)), dx
 
 
 def pad_feature_axis(ct: CompactTracks, p_w, use, n_dev: int):

@@ -244,6 +244,47 @@ class TestSchmidt:
         # active block did update
         assert not np.allclose(np.asarray(st2.P[:LEG, :LEG]), np.asarray(st.P[:LEG, :LEG]))
 
+    def test_reference_schmidt_semantics_identical(self):
+        """schmidt_reference_semantics replicates orcvio.cpp:1741-1756
+        literally (full-gain (I-KH)P, restore the nuisance diagonal,
+        symmetrize) — and coincides EXACTLY with textbook zero-gain Schmidt:
+        with the optimal gain, (I-KH)P = P - P H^T S^-1 H P is symmetric, so
+        the full-gain cross block equals the zero-gain one and the restored
+        diagonal equals the untouched one. The deviation once listed in
+        DEVIATIONS.md is therefore immaterial; this test pins the identity."""
+        from dataclasses import replace as dc_replace
+
+        from orcvio_tpu.filter.hybrid import nui_base, schmidt_demote
+        from orcvio_tpu.filter.update import apply_ekf_update
+
+        cfg = self.make_cfg()
+        cfg_ref = dc_replace(cfg, schmidt_reference_semantics=True)
+        st, _ = build_state_with_ekf_feature(cfg)
+        st = st.replace(P=jnp.eye(cfg.state_dim, dtype=jnp.float64) * 1e-2)
+        pm = jnp.zeros(cfg.sw_size, bool).at[1].set(True)
+        st = schmidt_demote(cfg, st, pm)
+        n0 = nui_base(cfg)
+        # correlate nuisance with active states so the variants can differ
+        rng = np.random.default_rng(1)
+        C = jnp.asarray(rng.normal(size=(cfg.state_dim, cfg.state_dim)) * 0.03)
+        P = st.P + 0.5 * (C @ C.T)
+        st = st.replace(P=0.5 * (P + P.T))
+        P_nn_before = np.asarray(st.P[n0:n0+6, n0:n0+6])
+        H = jnp.asarray(rng.normal(size=(8, cfg.state_dim)) * 0.5)
+        r = jnp.asarray(rng.normal(size=8) * 0.01)
+        st_tb, dx_tb = apply_ekf_update(cfg, st, H, r)
+        st_rf, dx_rf = apply_ekf_update(cfg_ref, st, H, r)
+        # nuisance block frozen and P symmetric in both
+        assert np.allclose(np.asarray(st_rf.P[n0:n0+6, n0:n0+6]), P_nn_before,
+                           atol=1e-12)
+        assert np.allclose(np.asarray(st_rf.P), np.asarray(st_rf.P).T, atol=1e-12)
+        # active-state mean increments identical (K_a independent of K_n)
+        assert np.allclose(np.asarray(dx_rf[:n0]), np.asarray(dx_tb[:n0]), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(st_rf.imu.p), np.asarray(st_tb.imu.p))
+        # the two formulations agree on the ENTIRE covariance (fp-level)
+        np.testing.assert_allclose(np.asarray(st_rf.P), np.asarray(st_tb.P),
+                                   atol=1e-12)
+
     def test_e2e_schmidt_tracks_truth(self):
         sim = SimConfig(n_frames=120, n_landmarks=300, max_obs=50, uv_noise=0.002, seed=5)
         cfg = FilterConfig(
