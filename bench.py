@@ -82,7 +82,8 @@ def truncate_seq(root: str, n_frames: int) -> str:
     return out
 
 
-def measure_reference(seq_root: str) -> dict:
+def measure_reference(seq_root: str, cfg_path: str = None,
+                      traj_out: str = "/tmp/refbench_traj.txt") -> dict:
     """Build+run the unmodified reference C++ on the sequence; parse timing."""
     here = os.path.dirname(os.path.abspath(__file__))
     binary = os.path.join(here, "native", "refbench", "build", "refbench")
@@ -91,12 +92,12 @@ def measure_reference(seq_root: str) -> dict:
             subprocess.run(["bash", os.path.join(here, "native", "refbench", "build.sh")],
                            check=True, capture_output=True, text=True, timeout=1800)
         mav = os.path.join(seq_root, "mav0")
-        cfg = os.path.join(BENCH_DIR, "config.yaml")
+        cfg = cfg_path or os.path.join(BENCH_DIR, "config.yaml")
         os.makedirs("/tmp/refbench_cache", exist_ok=True)
         r = subprocess.run(
             [binary, os.path.join(mav, "imu0", "data.csv"),
              os.path.join(mav, "cam0", "data.csv"),
-             os.path.join(mav, "cam0", "data"), cfg, "/tmp/refbench_traj.txt"],
+             os.path.join(mav, "cam0", "data"), cfg, traj_out],
             capture_output=True, text=True, timeout=600,
         )
         for line in reversed(r.stdout.strip().split("\n")):
@@ -111,12 +112,12 @@ def measure_reference(seq_root: str) -> dict:
         return out
 
 
-def reference_ate(seq_root: str) -> float:
+def reference_ate(seq_root: str, traj_path: str = "/tmp/refbench_traj.txt") -> float:
     from orcvio_tpu.dataio.euroc import load_euroc, read_tum
     from orcvio_tpu.eval.trajectory import ate
 
     try:
-        t, p, q = read_tum("/tmp/refbench_traj.txt")
+        t, p, q = read_tum(traj_path)
         seq = load_euroc(seq_root)
         m = ate(t, p, q, seq.gt_t, seq.gt_p, seq.gt_q, alignment="posyaw")
         return round(float(m["rmse_trans"]), 4)
@@ -124,7 +125,8 @@ def reference_ate(seq_root: str) -> float:
         return float("nan")
 
 
-def measure_ours(seq_root: str, n_frames: int) -> dict:
+def measure_ours(seq_root: str, n_frames: int, cfg_path: str = None,
+                 batched: bool = True) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -141,7 +143,7 @@ def measure_ours(seq_root: str, n_frames: int) -> dict:
     from orcvio_tpu.vio import VioState
 
     dtype = jnp.float32
-    cfg0, cam, fe = load_reference_yaml(os.path.join(BENCH_DIR, "config.yaml"))
+    cfg0, cam, fe = load_reference_yaml(cfg_path or os.path.join(BENCH_DIR, "config.yaml"))
     imu_slab = 16
     cfg = FilterConfig(**{**cfg0.__dict__, "imu_slab": imu_slab})
     tc = TrackerConfig(
@@ -198,6 +200,10 @@ def measure_ours(seq_root: str, n_frames: int) -> dict:
         ours_ate = round(float(m["rmse_trans"]), 4)
     except Exception:  # noqa: BLE001
         ours_ate = float("nan")
+
+    if not batched:
+        return {"e2e_fps": round(single_fps, 1), "e2e_fps_batched": float("nan"),
+                "e2e_batch": 0, "ate_m": ours_ate}
 
     # batched aggregate: B independent replays of the staged sequence
     B = E2E_BATCH

@@ -3,12 +3,15 @@ with pruned clones feed one extra MSCKF update instead of being dropped."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import __graft_entry__ as ge
 from dataclasses import replace
 
 from orcvio_tpu.dataio.synthetic import SimConfig, generate
 from orcvio_tpu.filter.pipeline import run_sequence
+
+pytestmark = pytest.mark.slow  # >60 s e2e module; deselect with -m 'not slow'
 
 CFG_KW = dict(sw_size=8, max_features=80, max_track_len=6, imu_slab=12,
               observation_noise=0.004, tri_translation_threshold=-1.0)

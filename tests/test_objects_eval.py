@@ -106,3 +106,21 @@ class TestPersistence:
         assert np.allclose(d["kps_global"], kps, atol=1e-6)
         assert np.allclose(d["ellipsoid_shape"], shape)
         assert d["timestamps"] == [1.5, 2.5]
+
+
+class TestPlots:
+    def test_trajectory_and_object_map_figures(self, tmp_path):
+        """Visualization layer (eval/plots.py — visualize.hpp analogue)."""
+        import numpy as np
+
+        from orcvio_tpu.eval.plots import plot_object_map, plot_trajectory
+
+        t = np.linspace(0, 10, 50)
+        p = np.stack([np.cos(t), np.sin(t), 0.1 * t], axis=1)
+        f1 = plot_trajectory(str(tmp_path / "traj.png"), t, p, p_gt=p + 0.01)
+        objs = [dict(t=[1.0, 2.0, 0.0], yaw=0.4, shape=[1.6, 0.8, 0.7])]
+        f2 = plot_object_map(str(tmp_path / "map.png"), objs, gt_objects=objs,
+                             p_est=p)
+        import os
+
+        assert os.path.getsize(f1) > 5000 and os.path.getsize(f2) > 5000

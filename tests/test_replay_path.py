@@ -18,6 +18,8 @@ from orcvio_tpu.init.static_init import StaticInitState, initial_imu_state, stat
 from orcvio_tpu.math import so3
 from orcvio_tpu.vio import VioState, run_vio
 
+pytestmark = pytest.mark.slow  # >60 s e2e module; deselect with -m 'not slow'
+
 REF_CFG = "/root/reference/config/euroc.yaml"
 
 

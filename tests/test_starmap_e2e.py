@@ -1,0 +1,127 @@
+"""End-to-end StarMap path: raw rendered images -> CNN keypoints -> object
+init -> LM, with NO injected detections.
+
+Mirrors the reference's full object chain (starmap.cpp:606-696 keypoint
+extraction -> ObjectInitNode.cpp:1037 triangulation + Kabsch + object LM),
+driven by the shipped synthetic-car checkpoint
+(orcvio_tpu/models/weights/starmap_car.*, scripts/train_starmap.py).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orcvio_tpu.config.core import FilterConfig
+from orcvio_tpu.dataio.render_object import CAR_KEYPOINTS, look_at, render_car
+from orcvio_tpu.math import se3
+from orcvio_tpu.models.starmap import detect_keypoints, load_pretrained
+from orcvio_tpu.objects.lm import ObjectLMConfig
+from orcvio_tpu.objects.manager import (
+    ManagerConfig,
+    ObjectTable,
+    PoseHistory,
+    finalize_object,
+    ingest,
+)
+
+pytestmark = pytest.mark.slow  # >60 s e2e module; deselect with -m 'not slow'
+
+SIZE = 96
+
+
+@pytest.fixture(scope="module")
+def net():
+    return load_pretrained()
+
+
+def camera_ring(T: int, dist: float = 6.5, elev: float = 0.35):
+    """T camera poses on an arc around the car; returns (R_w2c, cam, K) lists."""
+    views = []
+    f = SIZE * dist / 6.0
+    K = (f, f, SIZE / 2, SIZE / 2)
+    for i in range(T):
+        az = 0.6 + 1.2 * i / T  # ~70 degrees of arc
+        cam = np.array([dist * np.cos(elev) * np.cos(az),
+                        dist * np.cos(elev) * np.sin(az),
+                        0.7 + dist * np.sin(elev)])
+        views.append((look_at(cam, np.array([0.0, 0.0, 0.7])), cam, K))
+    return views
+
+
+class TestStarMapEndToEnd:
+    def test_keypoint_detection_on_render(self, net):
+        """Detected per-part keypoints land near the projected GT keypoints."""
+        model, params, bs, meta = net
+        rng = np.random.default_rng(5)
+        (R_w2c, cam, K) = camera_ring(1)[0]
+        r = render_car(R_w2c, cam, K, SIZE, rng=rng)
+        crop = jnp.repeat(jnp.asarray(r.image)[..., None], 3, axis=-1)
+        det = detect_keypoints(params, bs, model, crop,
+                               jnp.asarray(CAR_KEYPOINTS, jnp.float32))
+        found = np.asarray(det["found"])
+        kp_xy = np.asarray(det["kp_xy"]) * 4.0  # heatmap -> crop pixels
+        n_checked = n_good = 0
+        for k in range(12):
+            if not (found[k] and r.kp_visible[k]):
+                continue
+            n_checked += 1
+            if np.hypot(*(kp_xy[k] - r.kp_uv[k])) <= 8.0:
+                n_good += 1
+        assert n_checked >= 5, f"too few co-detected keypoints: {n_checked}"
+        assert n_good >= 0.7 * n_checked, (n_good, n_checked)
+
+    def test_image_to_object_pose(self, net):
+        """Full chain: renders -> CNN -> manager -> triangulation + Kabsch +
+        LM recovers the object pose (GT = identity: object frame == world)."""
+        model, params, bs, meta = net
+        rng = np.random.default_rng(7)
+        T, Kn = 12, 12
+        views = camera_ring(T)
+        canon = jnp.asarray(CAR_KEYPOINTS, jnp.float32)
+        detect = jax.jit(lambda crop: detect_keypoints(params, bs, model, crop, canon))
+
+        mc = ManagerConfig(capacity=2, window=T, n_kps=Kn, pose_history=32,
+                           min_frames=6, smooth_keypoints=False)
+        table = ObjectTable.create(mc, jnp.float64)
+        poses = PoseHistory.create(mc.pose_history, jnp.float64)
+
+        for i, (R_w2c, cam, K) in enumerate(views):
+            r = render_car(R_w2c, cam, K, SIZE, rng=rng)
+            crop = jnp.repeat(jnp.asarray(r.image)[..., None], 3, axis=-1)
+            det = detect(crop)
+            uv = np.asarray(det["kp_xy"]) * 4.0
+            fx, fy, cx, cy = K
+            zs = np.stack([(uv[:, 0] - cx) / fx, (uv[:, 1] - cy) / fy], axis=1)
+            mask = np.asarray(det["found"])
+            # bbox from the detected keypoints (normalized coords)
+            zb = np.array([zs[mask, 0].min(), zs[mask, 1].min(),
+                           zs[mask, 0].max(), zs[mask, 1].max()])
+            wTc = np.eye(4)
+            wTc[:3, :3] = R_w2c.T
+            wTc[:3, 3] = cam
+            t = jnp.asarray(float(i), jnp.float64)
+            poses = poses.push(jnp.asarray(wTc, jnp.float64), t)
+            table = ingest(
+                mc, table, t,
+                jnp.asarray([1], jnp.int32), jnp.asarray([0], jnp.int32),
+                jnp.asarray(zb, jnp.float64)[None],
+                jnp.asarray(zs, jnp.float64)[None],
+                jnp.asarray(mask)[None], jnp.ones(1, bool),
+            )
+
+        row = int(np.argmax(np.asarray(table.oid) == 1))
+        assert int(table.n[row]) == T
+
+        cfg = FilterConfig(tri_translation_threshold=-1.0)
+        lmc = ObjectLMConfig(iters=25)
+        shape = jnp.asarray([0.8, 2.0, 0.5], jnp.float64)  # car half-extents
+        fin, exp, wTc_obj, data = finalize_object(
+            cfg, lmc,
+            table.zs[row], table.zs_mask[row], table.zb[row], table.zb_mask[row],
+            table.t[row], jnp.arange(mc.window) < table.n[row],
+            poses, jnp.asarray(CAR_KEYPOINTS, jnp.float64), shape,
+        )
+        assert bool(fin.ok)
+        dr, dt = se3.displacement(fin.wTo, jnp.eye(4, dtype=jnp.float64))
+        assert float(dt) < 0.5, f"object position error {float(dt):.3f} m"
+        assert float(dr) < 0.25, f"object rotation error {float(dr):.3f} rad"

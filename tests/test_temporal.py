@@ -23,6 +23,8 @@ from orcvio_tpu.parallel.temporal import (
     seq_parallel_replay,
 )
 
+pytestmark = pytest.mark.slow  # >60 s e2e module; deselect with -m 'not slow'
+
 CFG_KW = dict(sw_size=10, max_features=80, max_track_len=6, imu_slab=12,
               observation_noise=0.004, tri_translation_threshold=-1.0)
 SIM_KW = dict(n_frames=120, n_landmarks=300, max_obs=40, imu_slab=12, seed=0)

@@ -9,10 +9,13 @@ from dataclasses import replace
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import __graft_entry__ as ge
 from orcvio_tpu.filter.pipeline import run_sequence
 from orcvio_tpu.filter.update import apply_ekf_update
+
+pytestmark = pytest.mark.slow  # >60 s e2e module; deselect with -m 'not slow'
 
 CFG_KW = dict(sw_size=8, max_features=60, max_track_len=6, imu_slab=12,
               observation_noise=0.004, tri_translation_threshold=-1.0)
