@@ -211,6 +211,35 @@ def detect_keypoints(params, batch_stats, model: StarMapNet, crop, canonical_poi
     )
 
 
+def load_pretrained(path: str | None = None):
+    """Load the shipped synthetic-car checkpoint (scripts/train_starmap.py).
+
+    Returns (model, params, batch_stats, meta). The reference ships a
+    TorchScript Pascal3D+ model (starmap.cpp:665-692); this repo ships a
+    small Flax checkpoint trained on the parametric-car renderer
+    (dataio/render_object.py) so the image -> keypoints -> object path runs
+    end-to-end with no external weights.
+    """
+    import json
+    import os
+
+    import flax.serialization
+
+    if path is None:
+        path = os.path.join(os.path.dirname(__file__), "weights", "starmap_car")
+    with open(path + ".json") as f:
+        meta = json.load(f)
+    model = StarMapNet(**meta["model"])
+    size = meta["input_size"]
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, size, size, 3), jnp.float32), train=False)
+    with open(path + ".msgpack", "rb") as f:
+        restored = flax.serialization.from_bytes(
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]}, f.read())
+    return model, restored["params"], restored["batch_stats"], meta
+
+
 def heatmap_loss(outs: Sequence[jnp.ndarray], target):
     """Intermediate-supervision MSE over all stacks (StarMap training loss)."""
     loss = 0.0

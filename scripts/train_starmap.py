@@ -1,0 +1,161 @@
+"""Train the StarMap hourglass on synthetic car renders; ship the checkpoint.
+
+The reference ships a TorchScript model trained on Pascal3D+
+(starmap.cpp:665-692); no real dataset exists in this environment, so the
+Flax network (models/starmap.py) is trained on the parametric-car renderer
+(dataio/render_object.py). The checkpoint unblocks the full
+image -> keypoints -> object-init -> EKF path with no injected detections.
+
+Usage: python scripts/train_starmap.py [--steps 3000] [--out <path>]
+Writes <out>.msgpack (flax serialization) + <out>.json (model kwargs).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+MODEL_KW = dict(n_stack=2, n_feats=64, n_out=5, hg_depth=3, n_modules=1)
+SIZE = 96
+DEFAULT_OUT = os.path.join(REPO, "orcvio_tpu", "models", "weights", "starmap_car")
+
+
+def build_dataset(n: int, seed: int = 0):
+    from orcvio_tpu.dataio.render_object import make_training_batch
+
+    rng = np.random.default_rng(seed)
+    imgs = np.empty((n, SIZE, SIZE, 3), np.uint8)
+    tgts = np.empty((n, SIZE // 4, SIZE // 4, 5), np.float32)
+    msks = np.empty((n, SIZE // 4, SIZE // 4, 1), np.float32)
+    chunk = 64
+    for i in range(0, n, chunk):
+        im, tg, mk = make_training_batch(rng, min(chunk, n - i), SIZE)
+        imgs[i : i + chunk] = np.clip(im * 255, 0, 255).astype(np.uint8)
+        tgts[i : i + chunk] = tg
+        msks[i : i + chunk] = mk
+    return imgs, tgts, msks
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--dataset", type=int, default=6144)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--out", default=DEFAULT_OUT)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import flax.serialization
+    import jax.numpy as jnp
+    import optax
+
+    from orcvio_tpu.models.starmap import StarMapNet
+
+    print("building dataset...", flush=True)
+    t0 = time.time()
+    imgs, tgts, msks = build_dataset(args.dataset)
+    print(f"  {args.dataset} renders in {time.time()-t0:.1f}s", flush=True)
+
+    model = StarMapNet(**MODEL_KW)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros((1, SIZE, SIZE, 3), jnp.float32), train=True)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"model: {n_params/1e6:.2f}M params", flush=True)
+
+    warmup = min(100, args.steps // 2)
+    sched = optax.warmup_cosine_decay_schedule(0.0, args.lr, warmup,
+                                               max(args.steps, warmup + 1))
+    tx = optax.adam(sched)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, bs, img, tgt, msk):
+        outs, mut = model.apply(
+            {"params": p, "batch_stats": bs}, img, train=True,
+            mutable=["batch_stats"],
+        )
+        loss = 0.0
+        for o in outs:
+            heat = o[..., 0]
+            # BCE-with-logits on the visibility heatmap
+            l_heat = jnp.mean(
+                jnp.maximum(heat, 0) - heat * tgt[..., 0]
+                + jnp.log1p(jnp.exp(-jnp.abs(heat)))
+            )
+            # cvf + depth, supervised only at keypoint neighborhoods
+            l_reg = jnp.sum(msk * (o[..., 1:] - tgt[..., 1:]) ** 2) / (
+                jnp.maximum(jnp.sum(msk), 1.0) * 4
+            )
+            loss = loss + l_heat + 0.3 * l_reg
+        return loss / len(outs), mut["batch_stats"]
+
+    @jax.jit
+    def step(p, bs, opt_state, img, tgt, msk):
+        (loss, bs2), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, bs, img, tgt, msk)
+        updates, opt_state = tx.update(g, opt_state)
+        return optax.apply_updates(p, updates), bs2, opt_state, loss
+
+    data_rng = np.random.default_rng(1)
+    t0 = time.time()
+    for i in range(args.steps):
+        idx = data_rng.integers(0, args.dataset, args.batch)
+        img = jnp.asarray(imgs[idx], jnp.float32) / 255.0
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, img,
+            jnp.asarray(tgts[idx]), jnp.asarray(msks[idx]))
+        if i % 200 == 0 or i == args.steps - 1:
+            print(f"step {i}: loss {float(loss):.4f} "
+                  f"({(time.time()-t0):.0f}s)", flush=True)
+
+    # quick eval: peak localization on fresh renders
+    from orcvio_tpu.dataio.render_object import CAR_KEYPOINTS, make_training_batch
+    from orcvio_tpu.models.starmap import detect_keypoints
+
+    eval_rng = np.random.default_rng(99)
+    im, tg, _ = make_training_batch(eval_rng, 32, SIZE)
+    hits = tot = 0
+    cvf_err = []
+    canon = jnp.asarray(CAR_KEYPOINTS, jnp.float32)
+    for b in range(32):
+        det = detect_keypoints(params, batch_stats, model,
+                               jnp.asarray(im[b], jnp.float32), canon)
+        heat_t = tg[b, ..., 0]
+        py, px = np.unravel_index(np.argmax(heat_t), heat_t.shape)
+        for k in range(12):
+            if not bool(det["found"][k]):
+                continue
+        # localization: every GT peak should have a detected peak within 2px
+        gt_peaks = np.argwhere(heat_t > 0.95)
+        det_xy = np.asarray(det["kp_xy"])[np.asarray(det["found"])]
+        for gy, gx in gt_peaks:
+            tot += 1
+            if len(det_xy) and np.min(np.hypot(det_xy[:, 0] - gx,
+                                               det_xy[:, 1] - gy)) <= 2.0:
+                hits += 1
+    print(f"eval: peak recall@2px = {hits}/{tot} = {hits/max(tot,1):.3f}")
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    blob = flax.serialization.to_bytes(
+        {"params": jax.device_get(params),
+         "batch_stats": jax.device_get(batch_stats)})
+    with open(args.out + ".msgpack", "wb") as f:
+        f.write(blob)
+    with open(args.out + ".json", "w") as f:
+        json.dump({"model": MODEL_KW, "input_size": SIZE,
+                   "recall_at_2px": round(hits / max(tot, 1), 4)}, f)
+    print(f"saved {args.out}.msgpack ({len(blob)/1e6:.1f} MB)")
+
+
+if __name__ == "__main__":
+    main()

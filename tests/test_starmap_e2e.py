@@ -48,6 +48,43 @@ def camera_ring(T: int, dist: float = 6.5, elev: float = 0.35):
     return views
 
 
+class TestDetectorWrapper:
+    def test_bbox_crop_to_normalized_keypoints(self, net):
+        """StarMapKeypointDetector (starmap nodelet analogue): full image +
+        pixel bbox -> normalized keypoints near the projected ground truth."""
+        from orcvio_tpu.objects.detector import StarMapKeypointDetector
+
+        rng = np.random.default_rng(9)
+        H, W = 240, 320
+        dist = 7.0
+        f = 200.0
+        K = (f, f, W / 2, H / 2)
+        cam = np.array([dist * 0.9, dist * 0.3, 2.6])
+        R_w2c = look_at(cam, np.array([0.0, 0.0, 0.7]))
+        # render_car rasterizes a square canvas; crop to the W x H image
+        r = render_car(R_w2c, cam, K, max(H, W), rng=rng)
+        img = np.asarray(r.image)[:H, :W]
+        vis = r.kp_visible & (r.kp_uv[:, 0] < W - 2) & (r.kp_uv[:, 1] < H - 2)
+        assert vis.sum() >= 5
+        uv = r.kp_uv[vis]
+        bbox = np.array([uv[:, 0].min(), uv[:, 1].min(),
+                         uv[:, 0].max(), uv[:, 1].max()])
+
+        det = StarMapKeypointDetector(CAR_KEYPOINTS, K)
+        kps, mask = det(img, bbox[None], np.asarray([True]))
+        assert mask[0].sum() >= 5
+        # compare in normalized coordinates
+        gt_n = np.stack([(r.kp_uv[:, 0] - K[2]) / K[0],
+                         (r.kp_uv[:, 1] - K[3]) / K[1]], axis=1)
+        errs = []
+        for k in range(12):
+            if mask[0, k] and vis[k]:
+                errs.append(np.linalg.norm(kps[0, k] - gt_n[k]))
+        assert len(errs) >= 4
+        # 8 px at f=200 -> 0.04 normalized
+        assert np.median(errs) < 0.04, np.median(errs)
+
+
 class TestStarMapEndToEnd:
     def test_keypoint_detection_on_render(self, net):
         """Detected per-part keypoints land near the projected GT keypoints."""
