@@ -151,6 +151,9 @@ def measure_ours(seq_root: str, n_frames: int, cfg_path: str = None,
         capacity=fe.max_features_num, min_distance=float(fe.min_distance),
         equalize=fe.flag_equalize, K=(cam.fx, cam.fy, cam.cx, cam.cy),
         dist_model=cam.distortion_model, dist_coeffs=tuple(cam.dist_coeffs),
+        # reference cadence: findNewFeaturesToBeTracked at pub_frequency
+        # (10 Hz on 20 Hz frames -> every 2nd frame)
+        detect_every=max(1, round(20.0 / fe.pub_frequency)),
     )
 
     try:

@@ -57,11 +57,12 @@ def make_e2e_replay(cfg: FilterConfig, tc: TrackerConfig, R_b2c, t_c_b,
 
     def step(carry, xs):
         ts, vs = carry
-        img_u8, t, it, ig, ia, im = xs
+        img_u8, t, it, ig, ia, im, idx = xs
         img = img_u8.astype(dtype)
         denom = jnp.maximum(jnp.sum(im), 1)
         mean_gyro = jnp.sum(jnp.where(im[:, None], ig, 0.0), axis=0) / denom
-        ts, tout = process_frame(tc, ts, img, t, mean_gyro, R_b2c)
+        ts, tout = process_frame(tc, ts, img, t, mean_gyro, R_b2c,
+                                 frame_idx=idx)
         frame = FrameInput(
             t=t, imu_t=it, imu_gyro=ig, imu_acc=ia, imu_mask=im,
             fids=tout.fids, uvs=tout.uvs, uv_vels=tout.uv_vels,
@@ -77,7 +78,8 @@ def make_e2e_replay(cfg: FilterConfig, tc: TrackerConfig, R_b2c, t_c_b,
         vio_state = vio_state.replace(
             filter=vio_state.filter.replace(R_b2c=R_b2c, t_c_b=t_c_b))
         xs = (staged.images, staged.frame_ts, staged.imu_t, staged.imu_gyro,
-              staged.imu_acc, staged.imu_mask)
+              staged.imu_acc, staged.imu_mask,
+              jnp.arange(staged.frame_ts.shape[0], dtype=jnp.int32))
         (ts, vs), outs = jax.lax.scan(step, (tracker_state, vio_state), xs)
         return (ts, vs), outs
 

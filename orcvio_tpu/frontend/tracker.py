@@ -44,6 +44,9 @@ class TrackerConfig(NamedTuple):
     grid_cols: int = 10
     per_cell: int = 3
     min_distance: float = 20.0
+    detect_every: int = 1  # re-detect every Nth frame; 2 = the reference's
+    # pub_frequency cadence (findNewFeaturesToBeTracked runs at 10 Hz on
+    # 20 Hz frames, image_processor.cpp:197 + config pub_frequency)
     equalize: bool = True
     K: tuple = (458.654, 457.296, 367.215, 248.375)  # fx fy cx cy
     dist_model: str = "radtan"
@@ -94,11 +97,15 @@ def _predict(tc: TrackerConfig, uvn, R_p2c):
     return normalized_to_pixel(pred_n, tc.K)
 
 
-def process_frame(tc: TrackerConfig, ts: TrackerState, img, t, mean_gyro, R_b2c):
+def process_frame(tc: TrackerConfig, ts: TrackerState, img, t, mean_gyro, R_b2c,
+                  frame_idx=None):
     """One camera frame -> (new TrackerState, TrackerOutput).
 
     img: (H, W) float32 [0, 255]; mean_gyro: (3,) body rate over the frame gap
-    (integrateImuData, image_processor.cpp:226).
+    (integrateImuData, image_processor.cpp:226). frame_idx (optional scalar):
+    when given and tc.detect_every > 1, re-detection only runs on frames with
+    frame_idx % detect_every == 0 (keep it UNBATCHED under vmap so the cond
+    stays a real branch, not a select).
     """
     dtype = img.dtype
     if tc.equalize == "clahe":
@@ -124,11 +131,25 @@ def process_frame(tc: TrackerConfig, ts: TrackerState, img, t, mean_gyro, R_b2c)
 
     # --- re-detection candidates (independent of the gates below, so it can
     #     run concurrently; suppression near predicted tracked positions) ---
-    det_xy, det_sc, det_ok = detect_grid(
-        img, tc.per_cell, tc.grid_rows, tc.grid_cols,
-        occupied_xy=klt.xy, occupied_mask=tracked,
-        min_distance=tc.min_distance,
-    )
+    def _detect(_):
+        return detect_grid(
+            img, tc.per_cell, tc.grid_rows, tc.grid_cols,
+            occupied_xy=klt.xy, occupied_mask=tracked,
+            min_distance=tc.min_distance,
+        )
+
+    if tc.detect_every > 1 and frame_idx is not None:
+        n_cand = tc.per_cell * tc.grid_rows * tc.grid_cols
+        det_xy, det_sc, det_ok = jax.lax.cond(
+            frame_idx % tc.detect_every == 0,
+            _detect,
+            lambda _: (jnp.zeros((n_cand, 2), dtype),
+                       jnp.zeros((n_cand,), dtype),
+                       jnp.zeros((n_cand,), bool)),
+            None,
+        )
+    else:
+        det_xy, det_sc, det_ok = _detect(None)
     C = det_xy.shape[0]
     det_order = jnp.argsort(-det_sc)  # best first
     det_xy_s = det_xy[det_order]
