@@ -87,6 +87,23 @@ class ObjectVio:
     def set_filter_state(self, filter_state):
         self.vio = self.vio.replace(filter=filter_state)
 
+    def step_image(self, frame: FrameInput, img, det_boxes_px, det_classes,
+                   det_valid, detector):
+        """One camera frame from a RAW image + pixel-space 2D detections.
+
+        Runs the StarMap keypoint detector (objects/detector.py) on each
+        bbox crop — the in-process analogue of the reference's
+        darknet -> StarMap -> ObjectInitNode chain — then the normal step().
+        detector: StarMapKeypointDetector (carries the camera intrinsics).
+        """
+        det_kps, det_kps_mask = detector(img, det_boxes_px, det_valid)
+        fx, fy, cx, cy = detector.K_cam
+        b = np.asarray(det_boxes_px, np.float64)
+        boxes_norm = np.stack([(b[:, 0] - cx) / fx, (b[:, 1] - cy) / fy,
+                               (b[:, 2] - cx) / fx, (b[:, 3] - cy) / fy], axis=1)
+        return self.step(frame, boxes_norm, det_classes, det_kps,
+                         det_kps_mask, det_valid)
+
     def step(self, frame: FrameInput, det_boxes, det_classes, det_kps, det_kps_mask, det_valid):
         """One camera frame with object detections.
 

@@ -85,6 +85,69 @@ class TestDetectorWrapper:
         assert np.median(errs) < 0.04, np.median(errs)
 
 
+class TestObjectVioImageStep:
+    def test_step_image_ingests_cnn_keypoints(self, net):
+        """ObjectVio.step_image: raw image + pixel bboxes -> detector ->
+        SORT -> keypoint ingestion (darknet->StarMap->ObjectInitNode chain)."""
+        from orcvio_tpu.config.core import FilterConfig as FC
+        from orcvio_tpu.filter.pipeline import FrameInput
+        from orcvio_tpu.objects.detector import StarMapKeypointDetector
+        from orcvio_tpu.objects.lm import ObjectLMConfig
+        from orcvio_tpu.objects.manager import ManagerConfig
+        from orcvio_tpu.objects.sort import SortConfig
+        from orcvio_tpu.objects.vio_objects import ObjectVio, ObjectVioConfig
+
+        rng = np.random.default_rng(11)
+        H = W = 160
+        f = 160.0
+        K = (f, f, W / 2, H / 2)
+        fcfg = FC(sw_size=4, max_features=8, max_track_len=3, imu_slab=4,
+                  prediction_only=True, tri_translation_threshold=-1.0)
+        ocfg = ObjectVioConfig(
+            filter=fcfg, lm=ObjectLMConfig(iters=5),
+            manager=ManagerConfig(capacity=2, window=8, n_kps=12,
+                                  pose_history=16, min_frames=4,
+                                  smooth_keypoints=False),
+            sort=SortConfig(capacity=4, max_age=2, min_hits=1,
+                            iou_threshold=0.1),
+            kps_mean=tuple(map(tuple, CAR_KEYPOINTS)),
+            shape_mean=(0.8, 2.0, 0.5),
+            use_object_residual_update=False,
+        )
+        ov = ObjectVio(ocfg, max_obs=8, dtype=jnp.float64)
+        detector = StarMapKeypointDetector(CAR_KEYPOINTS, K)
+
+        cam = np.array([6.0, 2.0, 2.5])
+        R_w2c = look_at(cam, np.array([0.0, 0.0, 0.7]))
+        r = render_car(R_w2c, cam, K, H, rng=rng)
+        vis = r.kp_visible
+        uv = r.kp_uv[vis]
+        bbox = np.array([uv[:, 0].min() - 2, uv[:, 1].min() - 2,
+                         uv[:, 0].max() + 2, uv[:, 1].max() + 2])
+        S = 4
+        for k in range(3):
+            frame = FrameInput(
+                t=jnp.asarray(0.05 * (k + 1), jnp.float64),
+                imu_t=jnp.zeros((S,), jnp.float64),
+                imu_gyro=jnp.zeros((S, 3), jnp.float64),
+                imu_acc=jnp.zeros((S, 3), jnp.float64),
+                imu_mask=jnp.zeros((S,), bool),
+                fids=-jnp.ones((8,), jnp.int32),
+                uvs=jnp.zeros((8, 2), jnp.float64),
+                uv_vels=jnp.zeros((8, 2), jnp.float64),
+                meas_mask=jnp.zeros((8,), bool),
+            )
+            ov.step_image(frame, r.image * 255.0, bbox[None],
+                          np.zeros(1, np.int32), np.asarray([True]), detector)
+        live = np.asarray(ov.table.oid) >= 0
+        assert live.sum() == 1
+        row = int(np.argmax(live))
+        assert int(ov.table.n[row]) >= 2
+        # at least 4 of 12 keypoints present on ingested frames
+        zs_mask = np.asarray(ov.table.zs_mask[row])
+        assert zs_mask[: int(ov.table.n[row])].sum(axis=1).min() >= 4
+
+
 class TestStarMapEndToEnd:
     def test_keypoint_detection_on_render(self, net):
         """Detected per-part keypoints land near the projected GT keypoints."""
