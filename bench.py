@@ -126,7 +126,7 @@ def reference_ate(seq_root: str, traj_path: str = "/tmp/refbench_traj.txt") -> f
 
 
 def measure_ours(seq_root: str, n_frames: int, cfg_path: str = None,
-                 batched: bool = True) -> dict:
+                 batched: bool = True, reps: int = 3) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -186,7 +186,6 @@ def measure_ours(seq_root: str, n_frames: int, cfg_path: str = None,
 
     (_, vs1), outs = replay(ts0, vs0, staged)
     jax.block_until_ready(outs["p"])
-    reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
         _, outs = replay(ts0, vs0, staged)

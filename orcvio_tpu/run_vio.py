@@ -136,7 +136,17 @@ def main(argv=None):
     ap.add_argument("--out", default="traj_estimate.txt")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--imu-slab", type=int, default=16)
+    ap.add_argument("--staged", action="store_true",
+                    help="stage the whole image stream on-device and compile "
+                    "tracker+filter into one scan (the TPU fast path; "
+                    "requires static init, no dynamic fallback)")
+    ap.add_argument("--backend", default="",
+                    help="pin a jax backend, e.g. cpu (the env default "
+                    "otherwise)")
     args = ap.parse_args(argv)
+
+    if args.backend:
+        jax.config.update("jax_platforms", args.backend)
 
     cfg, cam, fe = load_reference_yaml(args.config)
     cfg = FilterConfig(**{**cfg.__dict__, "imu_slab": args.imu_slab})
@@ -172,6 +182,7 @@ def main(argv=None):
 
     K = len(seq.cam_t) if not args.max_frames else min(args.max_frames, len(seq.cam_t))
 
+    frame_hz = 1.0 / max(float(np.median(np.diff(seq_cam_t[:min(K, 50)]))), 1e-3)
     tc = TrackerConfig(
         height=cam.height, width=cam.width,
         pyramid_levels=fe.pyramid_levels + 1,
@@ -181,6 +192,8 @@ def main(argv=None):
         K=(cam.fx, cam.fy, cam.cx, cam.cy),
         dist_model=cam.distortion_model,
         dist_coeffs=tuple(cam.dist_coeffs),
+        # re-detect at the reference's pub_frequency cadence
+        detect_every=max(1, round(frame_hz / fe.pub_frequency)),
     )
     # GT initial state from the config (initial_use_gt, orcvio.cpp:123)
     init_fs = None
@@ -204,13 +217,37 @@ def main(argv=None):
         )
         print("initialized from GT state in config")
 
-    res = run_image_sequence(
-        cfg, tc, get_image, seq_cam_t[:K],
-        imu_t[:K], gyro[:K], acc[:K], mask[:K],
-        np.asarray(cam.R_b2c), np.asarray(cam.t_c_b),
-        init_filter_state=init_fs,
-        progress_every=100,
-    )
+    if args.staged:
+        from .eval.staged import make_e2e_replay, stage_sequence
+        from .vio import VioState
+
+        images = np.stack([np.asarray(get_image(k), np.uint8) for k in range(K)])
+        staged = stage_sequence(images, seq_cam_t[:K], imu_t[:K], gyro[:K],
+                                acc[:K], mask[:K], jnp.float32)
+        staged = jax.device_put(staged)
+        replay = jax.jit(make_e2e_replay(cfg, tc, np.asarray(cam.R_b2c),
+                                         np.asarray(cam.t_c_b), jnp.float32))
+        ts0 = TrackerState.create(tc, jnp.float32)
+        vs0 = VioState.create(cfg, tc.capacity, jnp.float32)
+        if init_fs is not None:
+            vs0 = vs0.replace(filter=init_fs)
+        t0 = time.perf_counter()
+        (_, vs1), outs = replay(ts0, vs0, staged)
+        jax.block_until_ready(outs["p"])
+        res = {
+            "t": np.asarray(staged.frame_ts), "p": np.asarray(outs["p"]),
+            "R": np.asarray(outs["R"]),
+            "n_updates": np.asarray(outs["n_upd"]),
+            "fps": K / (time.perf_counter() - t0),
+        }
+    else:
+        res = run_image_sequence(
+            cfg, tc, get_image, seq_cam_t[:K],
+            imu_t[:K], gyro[:K], acc[:K], mask[:K],
+            np.asarray(cam.R_b2c), np.asarray(cam.t_c_b),
+            init_filter_state=init_fs,
+            progress_every=100,
+        )
     q = np.stack([np.asarray(quat.from_rotation(jnp.asarray(R))) for R in res["R"]])
     write_tum(args.out, res["t"] + t_origin, res["p"], q)
     print(f"fps={res['fps']:.1f}, wrote {args.out}")

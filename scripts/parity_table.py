@@ -89,7 +89,8 @@ def main():
         traj = f"/tmp/refbench_traj_{name}.txt"
         ref = bench.measure_reference(root, cfg_path=cfg, traj_out=traj)
         ref_ate = bench.reference_ate(root, traj_path=traj)
-        ours = bench.measure_ours(root, args.frames, cfg_path=cfg, batched=False)
+        ours = bench.measure_ours(root, args.frames, cfg_path=cfg,
+                                  batched=False, reps=1)
         rows.append({
             "seq": name, "ate_ours_m": ours["ate_m"], "ate_ref_m": ref_ate,
             "fps_ours": ours["e2e_fps"], "fps_ref": ref.get("fps"),
