@@ -86,6 +86,40 @@ def make_e2e_replay(cfg: FilterConfig, tc: TrackerConfig, R_b2c, t_c_b,
     return replay
 
 
+def make_tracker_scan(tc: TrackerConfig, R_b2c, dtype=jnp.float32):
+    """Build scan(tracker_state, staged) -> (final state, FrameInput arrays).
+
+    Runs ONLY the front end over the staged image stream, producing the
+    (T, ...)-shaped FrameInput pytree the filter replays consume — the input
+    format of ``filter.pipeline.run_sequence`` and
+    ``parallel.temporal.seq_parallel_replay``.
+    """
+    R_b2c = jnp.asarray(R_b2c, dtype)
+
+    def step(carry, xs):
+        ts, idx = carry
+        img_u8, t, it, ig, ia, im = xs
+        img = img_u8.astype(dtype)
+        denom = jnp.maximum(jnp.sum(im), 1)
+        mean_gyro = jnp.sum(jnp.where(im[:, None], ig, 0.0), axis=0) / denom
+        ts, tout = process_frame(tc, ts, img, t, mean_gyro, R_b2c,
+                                 frame_idx=idx)
+        frame = FrameInput(
+            t=t, imu_t=it, imu_gyro=ig, imu_acc=ia, imu_mask=im,
+            fids=tout.fids, uvs=tout.uvs, uv_vels=tout.uv_vels,
+            meas_mask=tout.meas_mask,
+        )
+        return (ts, idx + 1), frame
+
+    def scan(tracker_state: TrackerState, staged: StagedInputs):
+        xs = (staged.images, staged.frame_ts, staged.imu_t, staged.imu_gyro,
+              staged.imu_acc, staged.imu_mask)
+        (ts, _), frames = jax.lax.scan(step, (tracker_state, jnp.int32(0)), xs)
+        return ts, frames
+
+    return scan
+
+
 def make_batched_e2e_replay(cfg: FilterConfig, tc: TrackerConfig, R_b2c, t_c_b,
                             dtype=jnp.float32):
     """vmap the staged replay over a leading batch axis of (tracker, vio)
