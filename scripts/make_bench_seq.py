@@ -13,6 +13,8 @@ Defaults: /tmp/orcvio_bench_seq 3600
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 

@@ -4,7 +4,11 @@ Times each tracker stage jitted in isolation (block_until_ready fences),
 plus the full process_frame and the filter step, to direct perf work.
 Run: python scripts/profile_frontend.py
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -1,5 +1,9 @@
 """Minimal process_frame timer for perf bisection. Run: python scripts/time_frame.py"""
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
