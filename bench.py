@@ -315,6 +315,7 @@ def main():
         "baseline_ref_cpp_fps_measured": round(ref_fps, 2),
         "baseline_note": ref.get("note", ""),
         "e2e_fps_single": ours["e2e_fps"],
+        "e2e_fps_batched": ours["e2e_fps_batched"],
         "e2e_batch": ours["e2e_batch"],
         "filter_only_fps_batched": filt["filter_fps_batched"],
         "filter_only_batch": filt["filter_batch"],

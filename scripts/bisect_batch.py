@@ -18,12 +18,13 @@ H, W, N = 480, 752, 200
 
 
 def bench(tag, fn, *args, reps=20):
-    out = fn(*args)
-    jax.block_until_ready(out[0].xy)
+    # block on the WHOLE pytree: fencing one leaf assumes all leaves complete
+    # with the same executable, which holds today but is fragile
+    out = jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out[0].xy)
+    jax.block_until_ready(out)
     ms = (time.perf_counter() - t0) / reps * 1e3
     print(f"{tag:44s} {ms:8.3f} ms")
     return ms

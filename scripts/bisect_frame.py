@@ -46,66 +46,66 @@ def time_frame(tag, idx_val=1):
 
 
 def main():
+    import contextlib
+
     import orcvio_tpu.frontend.klt as klt
     import orcvio_tpu.frontend.orb as orb
     import orcvio_tpu.frontend.ransac as ransac
     import orcvio_tpu.frontend.tracker as tracker
-    import orcvio_tpu.frontend.detect as detect
     import orcvio_tpu.frontend.undistort as undist
     import orcvio_tpu.frontend.image as fimage
+
+    @contextlib.contextmanager
+    def patched(*bindings):
+        """bindings: (module, attr, stub). Restores on any exception."""
+        saved = [(m, a, getattr(m, a)) for m, a, _ in bindings]
+        try:
+            for m, a, stub in bindings:
+                setattr(m, a, stub)
+            yield
+        finally:
+            for m, a, orig in saved:
+                setattr(m, a, orig)
 
     base = time_frame("baseline (detect off this frame)")
     time_frame("baseline (detect ON this frame)", idx_val=0)
 
-    orig = orb.describe
-    orb.describe = lambda img, xy: jnp.zeros((xy.shape[0], 8), jnp.uint32)
-    time_frame("- orb.describe")
-    orb.describe = orig
+    with patched((orb, "describe",
+                  lambda img, xy: jnp.zeros((xy.shape[0], 8), jnp.uint32))):
+        time_frame("- orb.describe")
 
-    orig = orb.hamming
-    orb.hamming = lambda a, b: jnp.zeros((a.shape[0],), jnp.int32)
-    time_frame("- orb.hamming")
-    orb.hamming = orig
+    with patched((orb, "hamming",
+                  lambda a, b: jnp.zeros((a.shape[0],), jnp.int32))):
+        time_frame("- orb.hamming")
 
-    orig = ransac.ransac_fundamental
-    ransac.ransac_fundamental = lambda a, b, m, k, thresh=0.0: (
+    rstub = lambda a, b, m, k, thresh=0.0: (
         jnp.ones((a.shape[0],), bool), jnp.eye(3, dtype=a.dtype))
-    tracker.ransac_fundamental = ransac.ransac_fundamental
-    time_frame("- ransac")
-    ransac.ransac_fundamental = orig
-    tracker.ransac_fundamental = orig
+    with patched((ransac, "ransac_fundamental", rstub),
+                 (tracker, "ransac_fundamental", rstub)):
+        time_frame("- ransac")
 
-    orig = undist.undistort_pixels
-    undist.undistort_pixels = lambda xy, K, m, c: xy / 400.0
-    tracker.undistort_pixels = undist.undistort_pixels
-    time_frame("- undistort")
-    undist.undistort_pixels = orig
-    tracker.undistort_pixels = orig
+    ustub = lambda xy, K, m, c: xy / 400.0
+    with patched((undist, "undistort_pixels", ustub),
+                 (tracker, "undistort_pixels", ustub)):
+        time_frame("- undistort")
 
-    orig = klt.forward_backward_track
-    klt.forward_backward_track = lambda p0, p1, xy, g, patch=15, iters=10: \
+    kstub = lambda p0, p1, xy, g, patch=15, iters=10: \
         klt.KltResult(xy=g, ok=jnp.ones((xy.shape[0],), bool))
-    tracker.forward_backward_track = klt.forward_backward_track
-    time_frame("- klt")
-    klt.forward_backward_track = orig
-    tracker.forward_backward_track = orig
+    with patched((klt, "forward_backward_track", kstub),
+                 (tracker, "forward_backward_track", kstub)):
+        time_frame("- klt")
 
-    orig = fimage.equalize_hist
-    fimage.equalize_hist = lambda im: im
-    tracker.equalize_hist = fimage.equalize_hist
-    time_frame("- equalize")
-    fimage.equalize_hist = orig
-    tracker.equalize_hist = orig
+    estub = lambda im: im
+    with patched((fimage, "equalize_hist", estub),
+                 (tracker, "equalize_hist", estub)):
+        time_frame("- equalize")
 
-    orig = fimage.build_pyramid
     def fake_pyr(im, L):
         return [jax.image.resize(im, (im.shape[0] >> l, im.shape[1] >> l),
                                  "nearest") for l in range(L)]
-    fimage.build_pyramid = fake_pyr
-    tracker.build_pyramid = fake_pyr
-    time_frame("- pyramid(blur)")
-    fimage.build_pyramid = orig
-    tracker.build_pyramid = orig
+    with patched((fimage, "build_pyramid", fake_pyr),
+                 (tracker, "build_pyramid", fake_pyr)):
+        time_frame("- pyramid(blur)")
 
 
 if __name__ == "__main__":

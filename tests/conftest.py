@@ -22,6 +22,13 @@ import pytest
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the fast suite is compile-dominated (~13 min
+# cold); cached executables cut reruns to a fraction. Safe across processes
+# (orthogonal keys per XLA build/flags).
+jax.config.update("jax_compilation_cache_dir", "/tmp/orcvio_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 
 @pytest.fixture(autouse=True)
 def _reseed_module_rng(request):
