@@ -3,16 +3,26 @@
 TPU-native equivalent of the reference's cv::calcOpticalFlowPyrLK calls
 (image_processor.cpp:568,628 forward + reverse with 1px consistency).
 
-Design note (why no gathers): a direct port samples ~10M scattered pixels per
-frame through gather ops, which lower to XLA's slow path on TPU (measured
-660 ms/frame). Instead, every patch read is a per-feature integer-origin
-WINDOW COPY (ops/window_extract.py — a zero-FLOP Pallas VMEM slice kernel on
-TPU, `lax.dynamic_slice` on CPU) followed by a tiny in-window bilinear
-resample expressed as separable one-hot matmuls over the (Wd, Wd) window:
-a patch at subpixel center c is  W_y(c) @ win @ W_x(c)^T  where W_y is
-(P, Wd) with two bilinear-weighted nonzeros per row. The LK iterations run
-entirely inside the per-feature search window extracted once per level, so
-each iteration is a tiny batched matmul. Same math as the reference.
+Design (round-3 rewrite — why no gathers anywhere):
+ * XLA lowers batched gathers / vmapped dynamic_slice on TPU to a SEQUENTIAL
+   while loop over slices (profiled ~0.85 us/window: ~170 us per 200-feature
+   extraction, 16+ extractions per frame dominated the round-2 front end and
+   killed vmap batch scaling). All window reads now go through
+   ops/window_gather.gather_windows: a one-hot matmul over the image's
+   native (8, 128) tiles (~29 us per extraction, batches cleanly).
+ * Subpixel bilinear resampling inside the gathered windows is factored into
+   EXACT pieces: one-hot integer row/column selections on the MXU (0/1
+   weights; pixels split hi+lo into two bfloat16 passes, error <= 2^-17 of
+   full scale) and the fractional lerp on the VPU in float32. A "bf16" mode
+   halves the matmuls at ~0.5-gray pixel rounding (A/B'd against the
+   accuracy ladder).
+ * The backward consistency pass shares the forward pass's windows and runs
+   at level 0 only: the backward track starts from the forward result whose
+   flow is within the level-0 search radius by construction, so a full
+   reverse pyramid adds cost but no discrimination (ladder-verified).
+
+The LK math itself (template Hessian, clamped iterations, convergence and
+residual gates) matches the reference's semantics.
 """
 from __future__ import annotations
 
@@ -22,8 +32,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.window_extract import padded_windows
-from .image import gradients
+from ..ops.window_gather import (
+    AlignedImage, _use_matmul_impl, crop_lanes, gather_windows, prepare_image,
+)
+
+SEARCH_WD = 36       # logical search-window span (patch 15 + 2*9 radius + 2)
+ROWS, LANES = 48, 128  # physical (cropped) per-feature window
 
 
 class KltResult(NamedTuple):
@@ -31,148 +45,253 @@ class KltResult(NamedTuple):
     ok: jnp.ndarray  # (N,) converged & in-bounds & residual sane
 
 
-def _axis_weights(coord, size, taps):
-    """Bilinear one-hot weights: (N,) subpixel coords + (P,) integer taps
-    -> (N, P, size) with w[n, i, k] = bilinear weight of pixel k for
-    coordinate coord[n] + taps[i]. Clamps to the valid range (edge padding),
-    matching bilinear_sample's clip semantics."""
-    dtype = coord.dtype
-    c = coord[:, None] + taps[None, :].astype(dtype)  # (N, P)
-    c = jnp.clip(c, 0.0, size - 1.001)
-    c0 = jnp.floor(c)
-    f = (c - c0)[..., None]
-    k = jnp.arange(size, dtype=dtype)[None, None, :]
-    is0 = (k == c0[..., None]).astype(dtype)
-    is1 = (k == (c0[..., None] + 1.0)).astype(dtype)
-    return is0 * (1.0 - f) + is1 * f
+class LevelWindows(NamedTuple):
+    win: jnp.ndarray     # (N, ROWS, LANES) f32 pixels
+    origin: jnp.ndarray  # (N, 2) xy of win[:, 0, 0] in image coords
+    start: jnp.ndarray   # (N, 2) xy of the logical search window start
 
 
-def extract_patches(img, centers, taps):
-    """Bilinear patches at subpixel centers: window copy + local resample.
+def prepare_pyramid(pyr, precision: str = "f32x2"):
+    """Prepare each pyramid level for window gathering (once per frame)."""
+    return tuple(prepare_image(img[None], margin=40, precision=precision)
+                 for img in pyr)
 
-    img: (H, W); centers: (N, 2) xy; taps: (P,) integer offsets (concrete).
-    Returns (N, P, P) patches (row index = y tap, col index = x tap).
+
+def _mm_exact(a_onehot_bf16, x_f32, dims):
+    """one-hot(bf16) x f32 contraction, exact via hi/lo bf16 splitting."""
+    hi = x_f32.astype(jnp.bfloat16)
+    lo = (x_f32 - hi.astype(x_f32.dtype)).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(a_onehot_bf16, hi, dims,
+                              preferred_element_type=jnp.float32)
+    return out + jax.lax.dot_general(a_onehot_bf16, lo, dims,
+                                     preferred_element_type=jnp.float32)
+
+
+def _mm_bf16(a_onehot_bf16, x_f32, dims):
+    return jax.lax.dot_general(a_onehot_bf16, x_f32.astype(jnp.bfloat16), dims,
+                               preferred_element_type=jnp.float32)
+
+
+def _onehot(idx, size, taps_n):
+    """(N, taps_n, size) bf16 one-hot: [n, p, k] = (k == idx[n] + p)."""
+    k = jnp.arange(size, dtype=jnp.int32)
+    p = jnp.arange(taps_n, dtype=jnp.int32)
+    return ((idx[:, None, None] + p[None, :, None]) == k[None, None, :]
+            ).astype(jnp.bfloat16)
+
+
+def resample(chans, local, P: int, precision: str = "f32x2"):
+    """Bilinear (P, P) patches from per-feature windows at subpixel corners.
+
+    chans: (C, N, R, L) windows; local: (N, 2) xy window-frame coordinate of
+    the patch's (0, 0) tap. Returns (C, N, P, P) in chans.dtype.
+
+    TPU factorization: integer row selection (one-hot matmul, P+1 rows) ->
+    float32 row lerp -> integer column selection (one-hot matmul, P+1 cols)
+    -> float32 column lerp. The one-hot factors are exact in bfloat16; the
+    pixel factor is exact via hi/lo splitting ("f32x2") or rounded to ~0.5
+    gray ("bf16"). CPU: the same math via per-feature dynamic slices
+    (exact in the working dtype, incl. float64 tests).
     """
-    taps = np.asarray(taps)  # static offsets — keep them out of the trace
-    P = int(taps.shape[0])
-    t0 = int(taps[0])
-    Wd = P + 1  # one extra row/col for the bilinear upper tap
-    win, origin = padded_windows(img[None], centers, t0, Wd)
-    return _local_sample(win[0], centers - origin, taps)
+    C, N, R, L = chans.shape
+    ly = jnp.clip(local[:, 1], 0.0, R - 1.001 - P)
+    lx = jnp.clip(local[:, 0], 0.0, L - 1.001 - P)
+    iy = jnp.floor(ly)
+    ix = jnp.floor(lx)
+    fy = (ly - iy)[None, :, None, None]
+    fx = (lx - ix)[None, :, None, None]
+    if not _use_matmul_impl():
+        def one(ch):
+            sub = jax.vmap(
+                lambda w, y, x: jax.lax.dynamic_slice(
+                    w, (y, x), (P + 1, P + 1))
+            )(ch, iy.astype(jnp.int32), ix.astype(jnp.int32))
+            rows = sub[:, :P] * (1 - fy[0]) + sub[:, 1:] * fy[0]
+            return rows[:, :, :P] * (1 - fx[0]) + rows[:, :, 1:] * fx[0]
+        return jnp.stack([one(chans[c]) for c in range(C)])
+    mm = _mm_exact if precision == "f32x2" else _mm_bf16
+    wy = _onehot(iy.astype(jnp.int32), R, P + 1)          # (N, P+1, R)
+    wx = _onehot(ix.astype(jnp.int32), L, P + 1)          # (N, P+1, L)
+    # rows_ext[n, p, c, v] = chans[c, n, iy+p, v]
+    rows_ext = mm(wy, chans, (((2,), (2,)), ((0,), (1,))))  # (N, P+1, C, L)
+    rows_ext = jnp.moveaxis(rows_ext, 2, 0)                 # (C, N, P+1, L)
+    rows = rows_ext[:, :, :P] * (1 - fy) + rows_ext[:, :, 1:] * fy
+    # cols_ext[n, q, c, p] = rows[c, n, p, ix+q] — fold C into the output dim
+    # so the batched matmul stays one padded tile per feature, not C
+    rows2 = jnp.moveaxis(rows, 0, 2)                        # (N, P, C, L)
+    cols_ext = mm(wx, rows2, (((2,), (3,)), ((0,), (0,))))  # (N, P+1, P, C)
+    cols_ext = cols_ext.transpose(3, 0, 2, 1)               # (C, N, P, P+1)
+    out = cols_ext[..., :P] * (1 - fx) + cols_ext[..., 1:] * fx
+    return out.astype(chans.dtype)
 
 
-def _local_sample(windows, local_xy, taps):
-    """Bilinear patch resample inside small per-feature windows.
+def gather_level(ai: AlignedImage, centers, precision: str = "f32x2") -> LevelWindows:
+    """Gather + lane-compact the per-feature (ROWS, LANES) window around
+    floor(centers) - SEARCH_WD//2."""
+    t0 = -(SEARCH_WD // 2)
+    win, origin = gather_windows(ai, centers, t0, SEARCH_WD, ROWS, 2 * LANES)
+    H, W = ai.shape
+    cf = jnp.floor(centers)
+    start = jnp.stack([jnp.clip(cf[:, 0], 0, W - 1) + t0,
+                       jnp.clip(cf[:, 1], 0, H - 1) + t0], axis=1)
+    lane_off = (start[:, 0] - origin[:, 0]).astype(jnp.int32)
+    winc = crop_lanes(win[0], lane_off, LANES)
+    origin = origin.at[:, 0].add(lane_off.astype(origin.dtype))
+    return LevelWindows(win=winc, origin=origin, start=start)
 
-    windows: (N, Wy, Wx) — possibly taller than the logical window
-    (tiling-padded rows hold valid pixels); local_xy: (N, 2) window-frame
-    center. Returns (N, P, P). Small batched matmuls — negligible FLOPs.
-    """
-    Wy, Wx = windows.shape[-2:]
-    wy = _axis_weights(local_xy[:, 1], Wy, taps)  # (N, P, Wy)
-    wx = _axis_weights(local_xy[:, 0], Wx, taps)
-    with jax.default_matmul_precision("highest"):
-        rows = jnp.einsum("npw,nwv->npv", wy, windows)  # (N, P, Wd)
-        return jnp.einsum("npv,nqv->npq", rows, wx)
 
-
-def track_level(img0, img1, xy0, xy1_init, patch: int, iters: int, eps: float,
-                search_radius: int = 9):
-    """One pyramid level of LK for all features (batched, gather-free).
-
-    xy0: (N, 2) positions in img0; xy1_init: initial guesses in img1.
-    Returns (xy1, residual, converged). Iterates that leave the per-feature
-    search window are clamped and flagged unconverged (the reference's LK
-    similarly fails features whose flow exceeds the window).
-    """
-    dtype = img0.dtype
-    H, W = img0.shape
+def _template(lw: LevelWindows, xy, patch: int, precision: str):
+    """Template patch + gradients + Hessian terms at subpixel centers xy."""
     r = (patch - 1) // 2
-    taps = np.arange(-r, r + 1)
-    Ix, Iy = gradients(img0)
-
-    # template + gradient patches at p0: one 3-channel window copy, then
-    # three tiny in-window resamples at the shared subpixel center
-    big = jnp.stack([img0, Ix, Iy])  # (3, H, W)
-    Wt = patch + 1
-    wins0, origin0 = padded_windows(big, xy0, -r, Wt)  # (3, N, Wt, Wt)
-    local0 = xy0 - origin0
-    ext = jax.vmap(lambda w: _local_sample(w, local0, taps))(wins0)
-    t, gx, gy = ext[0], ext[1], ext[2]  # (N, P, P)
-
-    a11 = jnp.sum(gx * gx, axis=(1, 2))
-    a12 = jnp.sum(gx * gy, axis=(1, 2))
-    a22 = jnp.sum(gy * gy, axis=(1, 2))
+    win = lw.win
+    gx = jnp.zeros_like(win).at[:, :, 1:-1].set(0.5 * (win[:, :, 2:] - win[:, :, :-2]))
+    gy = jnp.zeros_like(win).at[:, 1:-1, :].set(0.5 * (win[:, 2:, :] - win[:, :-2, :]))
+    chans = jnp.stack([win, gx, gy])                       # (3, N, R, L)
+    local = xy - lw.origin - r                              # patch (0,0) tap
+    ext = resample(chans, local, patch, precision)
+    t, tgx, tgy = ext[0], ext[1], ext[2]
+    a11 = jnp.sum(tgx * tgx, axis=(1, 2))
+    a12 = jnp.sum(tgx * tgy, axis=(1, 2))
+    a22 = jnp.sum(tgy * tgy, axis=(1, 2))
     det = a11 * a22 - a12 * a12
+    return t, tgx, tgy, a11, a12, a22, det
+
+
+def _lk_iterate(lw: LevelWindows, tmpl, p_init, patch: int, iters: int,
+                precision: str):
+    """Clamped fixed-count LK iterations of p over lw.win against tmpl.
+
+    Returns (p, step_norm, residual, interior). Iterates that leave the
+    logical search window are clamped (the reference's LK likewise fails
+    features whose flow exceeds the window).
+    """
+    t, tgx, tgy, a11, a12, a22, det = tmpl
+    r = (patch - 1) // 2
+    dtype = p_init.dtype
     det_ok = det > 1e-6
     det_safe = jnp.where(det_ok, det, 1.0)
+    lo = lw.start - lw.origin + r                           # (N, 2) per axis
+    hi = lo + (SEARCH_WD - 2 * r - 1.001)
 
-    # integer search windows in img1 around the initial guess
-    Wd = patch + 2 * search_radius + 2  # +2: bilinear needs one extra col/row
-    c_int = jnp.round(xy1_init)
-    wins1, origin = padded_windows(img1[None], c_int, -(Wd // 2), Wd)
-    windows = wins1[0]  # (N, Wd, Wd)
-    lo = jnp.asarray(0.0, dtype)
-    hi = jnp.asarray(Wd - 1.001, dtype)
+    def resample1(p):
+        local = p - lw.origin - r
+        return resample(lw.win[None], local, patch, precision)[0]
 
-    def it(carry, _):
-        p1, _ = carry
-        local = p1 - origin
-        local = jnp.clip(local, lo + r, hi - r)
-        cur = _local_sample(windows, local, taps)
+    p = jnp.clip(p_init, lw.origin + lo, lw.origin + hi - 0.0)
+    dnorm = jnp.full((p.shape[0],), jnp.inf, dtype)
+    for _ in range(iters):
+        cur = resample1(p)
         err = cur - t
-        b1 = jnp.sum(gx * err, axis=(1, 2))
-        b2 = jnp.sum(gy * err, axis=(1, 2))
+        b1 = jnp.sum(tgx * err, axis=(1, 2))
+        b2 = jnp.sum(tgy * err, axis=(1, 2))
         dx = (a22 * b1 - a12 * b2) / det_safe
         dy = (a11 * b2 - a12 * b1) / det_safe
         d = jnp.stack([dx, dy], axis=1)
-        p1n = origin + jnp.clip(local - d, lo + r, hi - r)
-        return (p1n, jnp.linalg.norm(d, axis=1)), None
-
-    # Unrolled: `iters` is <= ~10 and each body is tiny batched matmuls, so a
-    # lax.scan/while costs more in per-iteration loop overhead (~25 us/step
-    # device-side) than the math itself; unrolling lets XLA fuse across
-    # iterations (measured ~5 ms -> ~1 ms for the 8 level-passes per frame).
-    carry = (xy1_init, jnp.full((xy0.shape[0],), jnp.inf, dtype))
-    for _ in range(iters):
-        carry, _ = it(carry, None)
-    p1, dnorm = carry
-    cur = _local_sample(windows, p1 - origin, taps)
+        local = p - lw.origin
+        local = jnp.clip(local - d, lo, hi)
+        p = lw.origin + local
+        dnorm = jnp.linalg.norm(d, axis=1)
+    cur = resample1(p)
     res = jnp.mean(jnp.abs(cur - t), axis=(1, 2))
-    # interior check: iterate not pinned to the window clamp boundary
-    local = p1 - origin
-    inside = (local > lo + r) & (local < hi - r)
-    conv = det_ok & (dnorm < 1.0) & inside.all(axis=1)
-    return p1, res, conv
+    local = p - lw.origin
+    interior = ((local > lo + 1e-3) & (local < hi - 1e-3)).all(axis=1)
+    conv = det_ok & (dnorm < 1.0) & interior
+    return p, res, conv
 
 
-def pyr_track(pyr0, pyr1, xy0, xy1_guess, patch: int = 15, iters: int = 10,
-              max_residual: float = 25.0):
-    """Coarse-to-fine LK over pyramids (lists, level 0 = full res)."""
-    levels = len(pyr0)
-    dtype = pyr0[0].dtype
+def track_level(img0, img1, xy0, xy1_init, patch: int, iters: int, eps: float,
+                search_radius: int = 9, precision: str = "f32x2"):
+    """One pyramid level of LK for all features (compat wrapper over the
+    window-gather machinery; prefer forward_backward_track for full frames).
+    """
+    del eps, search_radius
+    ai0 = prepare_image(img0[None], margin=40, precision=precision)
+    ai1 = prepare_image(img1[None], margin=40, precision=precision)
+    lw0 = gather_level(ai0, xy0, precision)
+    lw1 = gather_level(ai1, xy1_init, precision)
+    tmpl = _template(lw0, xy0, patch, precision)
+    return _lk_iterate(lw1, tmpl, xy1_init, patch, iters, precision)
+
+
+def _pyr_track_prepared(ais0, ais1, xy0, xy1_guess, patch, iters, precision,
+                        want_bwd: bool, max_residual: float = 25.0):
+    levels = len(ais0)
+    dtype = xy0.dtype
     xy0 = jnp.asarray(xy0, dtype)
     scale = 2.0 ** (levels - 1)
     p1 = jnp.asarray(xy1_guess, dtype) / scale
+    lw0_l0 = lw1_l0 = None
     for lv in range(levels - 1, -1, -1):
-        s = 2.0**lv
+        s = 2.0 ** lv
         p0_lv = xy0 / s
         if lv != levels - 1:
             p1 = p1 * 2.0
-        p1, res, conv = track_level(pyr0[lv], pyr1[lv], p0_lv, p1, patch, iters, 0.01)
-    xy1 = p1  # level 0
-    H, W = pyr0[0].shape
-    inb = (
-        (xy1[:, 0] > 2) & (xy1[:, 0] < W - 3) & (xy1[:, 1] > 2) & (xy1[:, 1] < H - 3)
-    )
-    return KltResult(xy=xy1, ok=conv & inb & (res < max_residual))
+        lw0 = gather_level(ais0[lv], p0_lv, precision)
+        lw1 = gather_level(ais1[lv], p1, precision)
+        tmpl = _template(lw0, p0_lv, patch, precision)
+        p1, res, conv = _lk_iterate(lw1, tmpl, p1, patch, iters, precision)
+        if lv == 0:
+            lw0_l0, lw1_l0 = lw0, lw1
+    H, W = ais0[0].shape
+    inb = ((p1[:, 0] > 2) & (p1[:, 0] < W - 3) & (p1[:, 1] > 2) & (p1[:, 1] < H - 3))
+    fwd_ok = conv & inb & (res < max_residual)
+    if not want_bwd:
+        return KltResult(xy=p1, ok=fwd_ok)
+    # backward pass at level 0, reusing the forward windows: template from
+    # the img1 window at the forward result, iterate over the img0 window
+    # starting at xy0 (flow magnitude <= search radius by construction)
+    tmpl_b = _template(lw1_l0, p1, patch, precision)
+    q, _res_b, conv_b = _lk_iterate(lw0_l0, tmpl_b, xy0, patch, iters, precision)
+    fb = jnp.linalg.norm(q - xy0, axis=1)
+    return KltResult(xy=p1, ok=fwd_ok & conv_b), fb
+
+
+def pyr_track(pyr0, pyr1, xy0, xy1_guess, patch: int = 15, iters: int = 10,
+              max_residual: float = 25.0, precision: str = "f32x2"):
+    """Coarse-to-fine LK over pyramids (lists/tuples of raw level images or
+    prepared AlignedImages, level 0 = full res)."""
+    ais0 = _as_prepared(pyr0, precision)
+    ais1 = _as_prepared(pyr1, precision)
+    return _pyr_track_prepared(ais0, ais1, xy0, xy1_guess, patch, iters,
+                               precision, want_bwd=False,
+                               max_residual=max_residual)
 
 
 def forward_backward_track(pyr0, pyr1, xy0, xy1_guess, patch: int = 15,
-                           iters: int = 10, fb_thresh: float = 1.0):
-    """Forward + reverse LK with consistency gate (image_processor.cpp:628-652)."""
-    fwd = pyr_track(pyr0, pyr1, xy0, xy1_guess, patch, iters)
-    bwd = pyr_track(pyr1, pyr0, fwd.xy, xy0, patch, iters)
-    fb = jnp.linalg.norm(bwd.xy - xy0, axis=1)
-    ok = fwd.ok & bwd.ok & (fb < fb_thresh)
-    return KltResult(xy=fwd.xy, ok=ok)
+                           iters: int = 10, fb_thresh: float = 1.0,
+                           precision: str = "f32x2"):
+    """Forward LK + level-0 reverse consistency gate
+    (image_processor.cpp:628-652)."""
+    ais0 = _as_prepared(pyr0, precision)
+    ais1 = _as_prepared(pyr1, precision)
+    res, fb = _pyr_track_prepared(ais0, ais1, xy0, xy1_guess, patch, iters,
+                                  precision, want_bwd=True)
+    return KltResult(xy=res.xy, ok=res.ok & (fb < fb_thresh))
+
+
+def _as_prepared(pyr, precision):
+    if isinstance(pyr[0], AlignedImage):
+        return tuple(pyr)
+    return prepare_pyramid(pyr, precision)
+
+
+def extract_patches(img, centers, taps):
+    """Bilinear patches at subpixel centers (compat helper for ORB & tests).
+
+    img: (H, W) or prepared AlignedImage; centers: (N, 2) xy; taps: (P,)
+    consecutive integer offsets. Returns (N, P, P).
+    """
+    taps = np.asarray(taps)
+    P = int(taps.shape[0])
+    ai = img if isinstance(img, AlignedImage) else prepare_image(
+        img[None], margin=40, precision="f32x2")
+    rows = -(-(P + 1 + 7) // 8) * 8
+    win, origin = gather_windows(ai, centers, int(taps[0]), P + 1,
+                                 max(rows, 16), 2 * LANES)
+    lane_off = jnp.clip(
+        (jnp.floor(centers[:, 0]) + int(taps[0]) - origin[:, 0]), 0, LANES - 1
+    ).astype(jnp.int32)
+    winc = crop_lanes(win[0], lane_off, LANES)
+    origin = origin.at[:, 0].add(lane_off.astype(origin.dtype))
+    local = centers - origin + taps[0]
+    return resample(winc[None], local, P, "f32x2")[0]

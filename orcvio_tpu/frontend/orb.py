@@ -52,12 +52,14 @@ def orientation(img, xy, radius: int = 15):
     """Intensity-centroid orientation per keypoint (IC_Angle in ORB)."""
     del radius  # fixed by the patch size
     patches = _keypoint_patches(img, xy)
-    return _orientation_from_patches(patches, img.dtype)
+    return _orientation_from_patches(patches, patches.dtype)
 
 
 def _sample_in_patch(patches, pts):
     """Bilinear sample (N, M, 2) patch-frame points from (N, P, P) patches
-    via per-point one-hot weights (small einsums, MXU-friendly)."""
+    via per-point one-hot weights (small einsums, MXU-friendly). Default
+    matmul precision: descriptor bits are robust to ~0.5-gray rounding (the
+    Hamming gate allows 58/256 mismatches), so the bf16 MXU pass suffices."""
     dtype = patches.dtype
     c = jnp.clip(pts + _R, 0.0, _P - 1.001)  # patch coords
     c0 = jnp.floor(c)
@@ -65,16 +67,16 @@ def _sample_in_patch(patches, pts):
     k = jnp.arange(_P, dtype=dtype)
     wy = ((k == c0[..., 1:2]) * (1 - f[..., 1:2]) + (k == c0[..., 1:2] + 1) * f[..., 1:2])
     wx = ((k == c0[..., 0:1]) * (1 - f[..., 0:1]) + (k == c0[..., 0:1] + 1) * f[..., 0:1])
-    with jax.default_matmul_precision("highest"):
-        rows = jnp.einsum("nmh,nhw->nmw", wy.astype(dtype), patches)  # (N, M, P)
+    rows = jnp.einsum("nmh,nhw->nmw", wy.astype(dtype), patches)  # (N, M, P)
     return jnp.sum(rows * wx.astype(dtype), axis=-1)  # (N, M)
 
 
 def describe(img, xy, angles=None, pattern=_PATTERN):
-    """Compute descriptors: (N, 8) uint32 (256 bits)."""
+    """Compute descriptors: (N, 8) uint32 (256 bits). img may be a raw
+    (H, W) image or a prepared ops.window_gather.AlignedImage."""
     patches = _keypoint_patches(img, xy)
     if angles is None:
-        angles = _orientation_from_patches(patches, img.dtype)
+        angles = _orientation_from_patches(patches, patches.dtype)
     c = jnp.cos(angles)[:, None]
     s = jnp.sin(angles)[:, None]
 

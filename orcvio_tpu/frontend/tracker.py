@@ -26,7 +26,7 @@ from ..math import so3
 from . import orb
 from .detect import detect_grid
 from .image import build_pyramid, equalize_hist
-from .klt import forward_backward_track
+from .klt import forward_backward_track, prepare_pyramid
 from .ransac import ransac_fundamental
 from .undistort import normalized_to_pixel, undistort_pixels
 
@@ -37,6 +37,7 @@ class TrackerConfig(NamedTuple):
     pyramid_levels: int = 3
     patch_size: int = 15
     klt_iters: int = 10
+    klt_precision: str = "f32x2"  # "f32x2" (exact) | "bf16" (fast, ~0.5 gray)
     orb_threshold: int = 58  # Hamming gate (image_processor.cpp:463)
     ransac_thresh: float = 3e-5  # squared Sampson, normalized coords
     capacity: int = 200  # max tracked features (max_features_num)
@@ -54,7 +55,7 @@ class TrackerConfig(NamedTuple):
 
 
 class TrackerState(struct.PyTreeNode):
-    pyr: tuple  # previous pyramid (tuple of arrays)
+    pyr: tuple  # previous prepared pyramid (tuple of AlignedImage)
     xy: jnp.ndarray  # (N, 2) previous pixel positions
     uvn: jnp.ndarray  # (N, 2) previous normalized coords
     desc: jnp.ndarray  # (N, 8) uint32 descriptors
@@ -71,7 +72,7 @@ class TrackerState(struct.PyTreeNode):
         ]
         N = tc.capacity
         return cls(
-            pyr=tuple(levels),
+            pyr=prepare_pyramid(levels, tc.klt_precision),
             xy=jnp.zeros((N, 2), dtype),
             uvn=jnp.zeros((N, 2), dtype),
             desc=jnp.zeros((N, 8), jnp.uint32),
@@ -114,7 +115,8 @@ def process_frame(tc: TrackerConfig, ts: TrackerState, img, t, mean_gyro, R_b2c,
         img = clahe(img)
     elif tc.equalize:
         img = equalize_hist(img)
-    pyr = tuple(build_pyramid(img, tc.pyramid_levels))
+    pyr = prepare_pyramid(build_pyramid(img, tc.pyramid_levels),
+                          tc.klt_precision)
     N = tc.capacity
     dt = t - ts.t
     have_prev = ts.fid >= 0
@@ -125,7 +127,8 @@ def process_frame(tc: TrackerConfig, ts: TrackerState, img, t, mean_gyro, R_b2c,
     pred_xy = _predict(tc, ts.uvn, R_p2c)
     pred_xy = jnp.where(have_prev[:, None], pred_xy, ts.xy)
     klt = forward_backward_track(
-        ts.pyr, pyr, ts.xy, pred_xy, patch=tc.patch_size, iters=tc.klt_iters
+        ts.pyr, pyr, ts.xy, pred_xy, patch=tc.patch_size, iters=tc.klt_iters,
+        precision=tc.klt_precision,
     )
     tracked = have_prev & klt.ok
 
@@ -158,6 +161,7 @@ def process_frame(tc: TrackerConfig, ts: TrackerState, img, t, mean_gyro, R_b2c,
     # --- ORB descriptors: one fused pass over tracked positions + detections
     #     (two separate describe calls double the window-extract fixed cost) ---
     desc_cat = orb.describe(pyr[0], jnp.concatenate([klt.xy, det_xy_s], axis=0))
+    # (pyr[0] is the prepared level-0 AlignedImage — describe accepts both)
     new_desc = desc_cat[:N]
     det_desc = desc_cat[N:]
     ham = orb.hamming(ts.desc, new_desc)
