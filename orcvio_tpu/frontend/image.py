@@ -106,23 +106,39 @@ def sample_patch(img, center_xy, offsets):
     return bilinear_sample(img, center_xy[None, :] + offsets)
 
 
-def equalize_hist(img, bins: int = 256):
+def equalize_hist(img, bins: int = 256, knots: int = 32, subsample: int = 2):
     """Global histogram equalization (stand-in for the reference's CLAHE).
 
-    Gather/scatter-free: jnp.histogram (scatter-add) and cdf[idx] (gather)
-    both hit the TPU slow path (measured 34 ms/frame). The histogram and the
-    LUT application are instead fused one-hot comparisons that XLA keeps as
-    elementwise+reduce VPU work (~2 ms): hist_b = sum(idx == b) and
-    out_p = sum_b (idx_p == b) * cdf_b.
+    Gather/scatter-free AND cheap: jnp.histogram (scatter-add) and cdf[idx]
+    (gather) both hit the TPU slow path; the round-2 fused one-hot version
+    was correct but cost ~240 us/frame of pure VPU compares (H*W*bins*2).
+    Instead: (a) the histogram is accumulated over a `subsample`-strided
+    pixel grid (the CDF is a global statistic — striding adds sampling noise
+    ~1/sqrt(n) ~ 0.3%, invisible to tracking); (b) the monotone CDF map is
+    applied through a `knots`-segment piecewise-linear interpolation, i.e.
+    knots compares per pixel instead of bins. Both remain one-hot/segment
+    compares that XLA fuses into elementwise+reduce VPU work.
     """
     flat = jnp.clip(img, 0.0, 255.0)
-    idx = jnp.clip((flat / 255.0 * (bins - 1)), 0.0, bins - 1.0).round()
+    sub = flat[::subsample, ::subsample]
+    idx = jnp.clip(sub / 255.0 * (bins - 1), 0.0, bins - 1.0).round()
     levels = jnp.arange(bins, dtype=img.dtype)
-    onehot = idx[..., None] == levels  # (H, W, bins) — fused, never materialized
+    onehot = idx[..., None] == levels  # fused, never materialized
     hist = jnp.sum(onehot, axis=(0, 1), dtype=img.dtype)
     cdf = jnp.cumsum(hist)
     cdf = cdf / cdf[-1]
-    return jnp.sum(onehot * cdf, axis=-1) * 255.0
+    # piecewise-linear apply: knot values of the CDF at equispaced gray
+    # levels; per pixel, sum of hat-function contributions (VPU only)
+    step = (bins - 1) / knots
+    knot_pos = jnp.arange(knots + 1, dtype=img.dtype) * step
+    knot_idx = jnp.clip(knot_pos.round(), 0, bins - 1).astype(jnp.int32)
+    knot_val = jnp.sum(  # one-hot instead of a gather (even tiny gathers
+        cdf * (knot_idx[:, None] == jnp.arange(bins)), axis=-1)  # loop on TPU)
+    x = jnp.clip(flat / 255.0 * (bins - 1), 0.0, bins - 1.0)
+    seg = x[..., None] / step - jnp.arange(knots, dtype=img.dtype)
+    w_hi = jnp.clip(seg, 0.0, 1.0)  # (H, W, knots) — fused
+    out = knot_val[0] + jnp.sum(w_hi * (knot_val[1:] - knot_val[:-1]), axis=-1)
+    return out * 255.0
 
 
 def clahe(img, grid=(8, 8), clip_limit: float = 3.0, bins: int = 256):

@@ -24,21 +24,53 @@ def _eight_point(p1, p2):
     A = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, one], axis=-1)
     # Null vector of A via fixed-count inverse iteration on A^T A + eps I.
     # TPU's jnp.linalg.svd lowers to data-dependent while loops (hundreds of
-    # microseconds per call at these tiny batched shapes); 8 exact equations
-    # make A^T A singular up to roundoff, so 3 ridge-regularized LU-solve
-    # iterations recover the null direction to working precision. The rank-2
-    # projection of the classic 8-point algorithm is skipped: hypotheses are
-    # only scored by Sampson distance, for which the unprojected F gates
-    # equally (tests assert inlier-recovery parity).
+    # microseconds per call at these tiny batched shapes), and lu_factor is
+    # a custom call with the same problem; 8 exact equations make A^T A
+    # singular up to roundoff, so 3 ridge-regularized solves through an
+    # UNROLLED batched 9x9 Cholesky (pure vectorized arithmetic, static
+    # shapes, no pivots) recover the null direction to working precision.
+    # The rank-2 projection of the classic 8-point algorithm is skipped:
+    # hypotheses are only scored by Sampson distance, for which the
+    # unprojected F gates equally (tests assert inlier-recovery parity).
     AtA = jnp.einsum("hni,hnj->hij", A, A)
     eps = 1e-7 * jnp.trace(AtA, axis1=-2, axis2=-1)[..., None, None]
     M = AtA + eps * jnp.eye(9, dtype=A.dtype)
-    lu, piv = jax.scipy.linalg.lu_factor(M)
+    L = _cholesky9(M)
     v = jnp.ones((A.shape[0], 9), A.dtype)
     for _ in range(3):
-        v = jax.scipy.linalg.lu_solve((lu, piv), v[..., None])[..., 0]
+        v = _chol_solve(L, v)
         v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
     return v.reshape(A.shape[0], 3, 3)
+
+
+def _cholesky9(M):
+    """Unrolled batched Cholesky of (H, 9, 9) SPD matrices (no custom call)."""
+    n = M.shape[-1]
+    L = jnp.zeros_like(M)
+    for j in range(n):
+        s = M[:, j, j] - jnp.sum(L[:, j, :j] ** 2, axis=-1) if j else M[:, j, j]
+        d = jnp.sqrt(jnp.maximum(s, 1e-30))
+        col = (M[:, :, j]
+               - (jnp.einsum("hk,hjk->hj", L[:, j, :j], L[:, :, :j]) if j else 0.0)
+               ) / d[:, None]
+        row = jnp.arange(n)
+        L = L + jnp.where((row >= j)[None, :, None] & (row == j)[None, None, :],
+                          col[:, :, None], 0.0)
+    return L
+
+
+def _chol_solve(L, b):
+    """Solve L L^T x = b by unrolled forward/back substitution. b: (H, n)."""
+    n = L.shape[-1]
+    y = jnp.zeros_like(b)
+    for i in range(n):
+        yi = (b[:, i] - jnp.sum(L[:, i, :i] * y[:, :i], axis=-1)) / L[:, i, i]
+        y = y.at[:, i].set(yi)
+    x = jnp.zeros_like(b)
+    for i in range(n - 1, -1, -1):
+        xi = (y[:, i] - jnp.sum(L[:, i + 1:, i] * x[:, i + 1:], axis=-1)) / L[:, i, i]
+        x = x.at[:, i].set(xi)
+    return x
 
 
 def sampson_dist(F, p1, p2):
