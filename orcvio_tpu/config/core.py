@@ -78,6 +78,20 @@ class FilterConfig:
     # "information" (Lambda = H^T H; all-MXU, no tall-skinny QR)
     update_form: str = "qr"
 
+    # object-residual update: transport the LM residual from its (stale)
+    # linearization poses to the CURRENT clone estimates before the Kalman
+    # step (r_now = r_lm + J_cam (wTc_now <- wTc_lm)). The reference feeds the
+    # service-returned residual unchanged (orcvio.cpp:2017-2126), which biases
+    # the update by the pose refinement accumulated since the LM ran — see
+    # DEVIATIONS.md. False = literal reference semantics.
+    object_residual_transport: bool = True
+    # measurement sigma for object residual rows (0 = use observation_noise,
+    # the literal reference semantics: "we just use feature observation noise
+    # for all residuals", orcvio.cpp:2190). Object keypoints come from a CNN
+    # and the LM residual additionally carries the window-wide pose-drift
+    # spread, so a larger sigma than corner features is physically right.
+    object_observation_noise: float = 0.0
+
     # gating / pruning
     prune_last_chance: bool = True  # "last-chance" MSCKF update on observations
     # dying with pruned clones (pruneImuStateBuffer, orcvio.cpp:2803-2851)

@@ -142,7 +142,7 @@ def run_object_mapping(wc: WorldConfig, use_object_update: bool = True,
     ocfg = ObjectVioConfig(
         filter=fcfg,
         lm=ObjectLMConfig(iters=25),
-        manager=ManagerConfig(capacity=wc.max_det + 4, window=90, n_kps=12,
+        manager=ManagerConfig(capacity=wc.max_det + 4, window=45, n_kps=12,
                               pose_history=256, min_frames=12,
                               smooth_keypoints=True),
         sort=SortConfig(capacity=wc.max_det + 4, max_age=3, min_hits=2,

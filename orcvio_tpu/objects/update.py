@@ -69,7 +69,30 @@ def build_object_H(cfg: FilterConfig, state: FilterState, exp: EkfExport, wTc_ob
     Hf_frame = jnp.concatenate(
         [exp.J_obj_feat.reshape(T, 2 * K, dof_obj), exp.J_obj_bbox], axis=1
     )
-    r_frame = jnp.concatenate([exp.r_feat.reshape(T, 2 * K), exp.r_bbox], axis=1)
+    r_feat, r_bbox = exp.r_feat, exp.r_bbox
+    if cfg.object_residual_transport:
+        # Transport the residual to the CURRENT clone estimates: the LM
+        # linearized at the pose-history snapshots wTc_obj, but the Kalman
+        # innovation must be consistent with the state being corrected. With
+        # the camera-twist convention of project_object_points_df_camera
+        # (left: wTc' = exp(xi) wTc, right: wTc' = wTc exp(xi)),
+        # r_now ~= r_lm + J_cam xi with xi = log of the pose increment from
+        # the LM pose to the current clone-derived camera pose.
+        sw = state.clones.valid.shape[0]
+        sl = jnp.clip(slot, 0, sw - 1)
+        R_c2w_now = state.clones.R[sl] @ R_b2c.T
+        t_c_w_now = state.clones.p[sl] + jnp.einsum(
+            "tij,j->ti", state.clones.R[sl], t_c_b)
+        wTc_now = se3.make_pose(R_c2w_now, t_c_w_now)
+        if cfg.use_left_perturbation:
+            inc = jnp.einsum("tij,tjk->tik", wTc_now, se3.inverse_pose(wTc_obj))
+        else:
+            inc = jnp.einsum("tij,tjk->tik", se3.inverse_pose(wTc_obj), wTc_now)
+        xi = se3.log(inc)  # (T, 6)
+        xi = jnp.where(matched[:, None], xi, 0.0)
+        r_feat = r_feat + jnp.einsum("tkri,ti->tkr", exp.J_cam_feat, xi)
+        r_bbox = r_bbox + jnp.einsum("tri,ti->tr", exp.J_cam_bbox, xi)
+    r_frame = jnp.concatenate([r_feat.reshape(T, 2 * K), r_bbox], axis=1)
 
     row_mask_frame = jnp.concatenate(
         [
@@ -121,7 +144,8 @@ def _object_ekf_update(cfg, state, exp, wTc_obj, obj_t, chi2_table):
     Hx_p, r_p = linalg.nullspace_project(Hf, Hx, r)
 
     # gate: dof = rows after the trick (orcvio.cpp:2172)
-    sigma2 = cfg.observation_noise**2
+    sigma_obj = cfg.object_observation_noise or cfg.observation_noise
+    sigma2 = sigma_obj**2
     S = Hx_p @ state.P @ Hx_p.T + sigma2 * jnp.eye(Hx_p.shape[0], dtype=state.P.dtype)
     sol = jnp.linalg.solve(S, r_p)
     gamma = jnp.dot(r_p, sol)
@@ -131,6 +155,10 @@ def _object_ekf_update(cfg, state, exp, wTc_obj, obj_t, chi2_table):
     finite = jnp.all(jnp.isfinite(Hx_p)) & jnp.all(jnp.isfinite(r_p))
     use = any_match & enough & gate_ok & finite
 
-    new_state, dx = apply_ekf_update(cfg, state, Hx_p, r_p)
+    # apply_ekf_update assumes R = observation_noise^2 I; whitening-rescale
+    # the rows so the effective noise is sigma_obj (exactly equivalent:
+    # K(cH, cr, c*sigma) dx == K(H, r, sigma) dx for any c > 0)
+    c = cfg.observation_noise / sigma_obj
+    new_state, dx = apply_ekf_update(cfg, state, c * Hx_p, c * r_p)
     state = jax.tree.map(lambda a, b: jnp.where(use, a, b), new_state, state)
     return state, use

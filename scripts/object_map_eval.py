@@ -20,10 +20,14 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# float64 pipeline — must not land on the TPU backend (the env exports
+# JAX_PLATFORMS=axon and re-exports it at jax import; config.update is the
+# reliable pin, same as tests/conftest.py)
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/orcvio_jax_cache")
 
@@ -79,10 +83,11 @@ def run_config_b(quick: bool):
 
     fcfg = FilterConfig(sw_size=10, max_features=80, max_track_len=6,
                         imu_slab=sim.imu_slab, observation_noise=0.004,
+                        object_observation_noise=0.015,
                         tri_translation_threshold=-1.0)
     ocfg = ObjectVioConfig(
         filter=fcfg, lm=ObjectLMConfig(iters=25),
-        manager=ManagerConfig(capacity=8, window=90, n_kps=12,
+        manager=ManagerConfig(capacity=8, window=45, n_kps=12,
                               pose_history=256, min_frames=10,
                               smooth_keypoints=True),
         sort=SortConfig(capacity=8, max_age=3, min_hits=2, iou_threshold=0.1),

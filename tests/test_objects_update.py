@@ -70,6 +70,34 @@ class TestBuildObjectH:
         rel = float(jnp.linalg.norm(r - Hx @ delta) / jnp.linalg.norm(r))
         assert rel < 1e-3, rel
 
+    @pytest.mark.parametrize("left", [True, False])
+    def test_residual_transport_to_current_state(self, left):
+        """The LM linearized at stale history poses; after the filter state
+        moves on, the transported residual must equal the innovation at the
+        CURRENT clone estimates to first order (r ~ Hx (true - estimate)).
+        With transport off (literal reference semantics, orcvio.cpp:2017),
+        the residual stays at its stale value (~0 here) and carries no
+        information about the pose refinement."""
+        cfg, st, st_obj, data, wTc = make_world()
+        cfg = FilterConfig(**{**cfg.__dict__, "use_left_perturbation": left})
+        lmc = ObjectLMConfig(use_left_perturbation=left)
+        # LM ran at the history poses wTc where the measurements are exact:
+        # its residual is ~0 there
+        exp = export_for_update(lmc, st_obj, data)
+        dx = jnp.zeros(cfg.state_dim).at[LEG : LEG + 30].set(
+            jnp.asarray(RNG.normal(size=30)) * 1e-4)
+        st_pert = increment_state(cfg, st, dx)
+        Hx, Hf, r, mask, anym = build_object_H(
+            cfg, st_pert, exp, wTc, jnp.arange(5.0))
+        delta = -dx  # true-minus-estimate
+        rel = float(jnp.linalg.norm(r - Hx @ delta) / jnp.linalg.norm(Hx @ delta))
+        assert rel < 1e-3, rel
+        # reference semantics: no transport -> stale (zero) residual
+        cfg_ref = FilterConfig(**{**cfg.__dict__, "object_residual_transport": False})
+        _, _, r_ref, _, _ = build_object_H(
+            cfg_ref, st_pert, exp, wTc, jnp.arange(5.0))
+        assert float(jnp.abs(r_ref).max()) < 1e-10
+
     def test_unmatched_frames_are_zero_rows(self):
         cfg, st, st_obj, data, wTc = make_world()
         lmc = ObjectLMConfig()
