@@ -88,9 +88,13 @@ class FilterConfig:
     # measurement sigma for object residual rows (0 = use observation_noise,
     # the literal reference semantics: "we just use feature observation noise
     # for all residuals", orcvio.cpp:2190). Object keypoints come from a CNN
-    # and the LM residual additionally carries the window-wide pose-drift
-    # spread, so a larger sigma than corner features is physically right.
-    object_observation_noise: float = 0.0
+    # and the LM residual additionally carries smoothing-induced temporal
+    # correlation and the window-wide pose-drift spread, so a much larger
+    # sigma than corner features is physically right. Default measured by the
+    # round-4 triage sweep (scripts/object_update_triage.py) on the 12-car
+    # sim world: at sigma 0.004 (feature noise) the update DEGRADES VIO ATE
+    # 0.0617 -> 0.2702 m; at 0.05 it IMPROVES it to 0.0469 m.
+    object_observation_noise: float = 0.05
 
     # gating / pruning
     prune_last_chance: bool = True  # "last-chance" MSCKF update on observations

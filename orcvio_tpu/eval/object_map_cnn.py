@@ -1,0 +1,188 @@
+"""CNN-in-the-loop object-mapping evaluation: rendered images -> StarMap.
+
+Config B of the object acceptance artifact: composite multi-car renders ->
+pixel bboxes -> StarMap keypoint CNN -> SORT -> ingest -> init+LM -> map,
+i.e. the reference's darknet -> StarMap -> ObjectInitNode chain
+(`ros_wrapper/src/StarMap/src/starmap.cpp:606-696`,
+`ObjectInitNode.cpp:408-740`) with the detector itself under test.
+
+``debug=True`` records per-frame stage counts (rendered boxes, keypoints
+over threshold, live SORT tracks, associated detections, per-object
+accumulated frames, finalization outcomes) so a zero-object failure is
+attributable to the stage that drops to zero.
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.core import FilterConfig
+from ..dataio.render_object import CAR_KEYPOINTS, render_car
+from ..dataio.synthetic import SimConfig, generate, trajectory_pose
+from ..filter.state import FilterState
+from ..math import se3
+from ..objects.detector import StarMapKeypointDetector
+from ..objects.lm import ObjectLMConfig
+from ..objects.manager import ManagerConfig
+from ..objects.sort import SortConfig
+from ..objects.vio_objects import ObjectVio, ObjectVioConfig
+from .object_map_sim import WorldConfig, make_world
+from .objects import match_and_mean_iou, yaw_of_pose
+
+
+def run_cnn_object_mapping(quick: bool = False, debug: bool = False,
+                           use_object_update: bool = True,
+                           sigma_obj: float = 0.015,
+                           min_frames: int = 10):
+    n_frames = 80 if quick else 140
+    wc = WorldConfig(n_objects=3, n_frames=n_frames, ring_radius=6.5,
+                     max_det=4, seed=11)
+    objs = make_world(wc)
+    H = W = 240
+    f = 220.0
+    K = (f, f, W / 2, H / 2)
+    rng = np.random.default_rng(5)
+
+    sim = SimConfig(n_frames=n_frames, n_landmarks=400, max_obs=50,
+                    uv_noise=wc.uv_noise, seed=wc.seed, radius=3.0, omega=0.5)
+    R_b2c = jnp.asarray([[0.0, -1.0, 0.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]],
+                        jnp.float64)
+    t_c_b = jnp.asarray([0.05, 0.02, 0.0], jnp.float64)
+    data = generate(sim, R_b2c=R_b2c, t_c_b=t_c_b)
+    gt_R = np.asarray(data.gt_R)
+    gt_p = np.asarray(data.gt_p)
+
+    fcfg = FilterConfig(sw_size=10, max_features=80, max_track_len=6,
+                        imu_slab=sim.imu_slab, observation_noise=0.004,
+                        object_observation_noise=sigma_obj,
+                        tri_translation_threshold=-1.0)
+    ocfg = ObjectVioConfig(
+        filter=fcfg, lm=ObjectLMConfig(iters=25),
+        manager=ManagerConfig(capacity=8, window=45, n_kps=12,
+                              pose_history=256, min_frames=min_frames,
+                              smooth_keypoints=True),
+        sort=SortConfig(capacity=8, max_age=3, min_hits=2, iou_threshold=0.1),
+        kps_mean=tuple(map(tuple, CAR_KEYPOINTS)),
+        shape_mean=(0.80, 2.00, 0.70),
+        use_object_residual_update=use_object_update,
+        merge_duplicates=True,
+    )
+    ov = ObjectVio(ocfg, max_obs=sim.max_obs, dtype=jnp.float64)
+    detector = StarMapKeypointDetector(CAR_KEYPOINTS, K)
+
+    st = FilterState.create(fcfg, jnp.float64)
+    R0, p0 = trajectory_pose(sim, jnp.asarray(0.0))
+    v0 = jax.jacobian(lambda t: trajectory_pose(sim, t)[1])(jnp.asarray(0.0))
+    imu = st.imu.replace(R=R0, p=p0, v=v0)
+    d = np.asarray(fcfg.initial_cov_diag())
+    d[:15] = 1e-6
+    st = st.replace(imu=imu, imu_fej_now=imu, imu_old=imu, R_b2c=R_b2c,
+                    t_c_b=t_c_b, P=jnp.asarray(np.diag(d)),
+                    initialized=jnp.ones((), bool))
+    ov.set_filter_state(st)
+
+    def render_frame(wTc):
+        """Composite all visible cars into one image; return img + px boxes."""
+        cTw = np.asarray(se3.inverse_pose(jnp.asarray(wTc)))
+        img = np.full((max(H, W), max(H, W)), 0.35, np.float32)
+        boxes = []
+        order = []
+        for i, ob in enumerate(objs):
+            pc = cTw[:3, :3] @ ob["t"] + cTw[:3, 3]
+            if not (wc.min_depth < pc[2] < wc.max_depth):
+                continue
+            if abs(pc[0] / pc[2]) > 0.55 or abs(pc[1] / pc[2]) > 0.55:
+                continue
+            order.append((pc[2], i))
+        for _, i in sorted(order, reverse=True):  # far -> near painter
+            ob = objs[i]
+            Ro, to = ob["wTo"][:3, :3], ob["wTo"][:3, 3]
+            R_w2c_o = cTw[:3, :3] @ Ro
+            cam_o = Ro.T @ (np.asarray(wTc)[:3, 3] - to)
+            r = render_car(R_w2c_o, cam_o, K, max(H, W), background=img,
+                           rng=rng)
+            img = np.asarray(r.image)
+            vis = r.kp_visible
+            if vis.sum() >= 4:
+                uv = r.kp_uv[vis]
+                x0, y0 = uv[:, 0].min() - 3, uv[:, 1].min() - 3
+                x1, y1 = uv[:, 0].max() + 3, uv[:, 1].max() + 3
+                if x1 < W + 10 and y1 < H + 10:
+                    boxes.append([x0, y0, min(x1, W - 1), min(y1, H - 1)])
+        return img[:H, :W], np.asarray(boxes, np.float64).reshape(-1, 4)
+
+    stages: List[dict] = []
+    fin_log: List[dict] = []
+    if debug:
+        orig_finalize = ov._finalize
+
+        def logged_finalize(*a):
+            fin, exp, wTc_obj, d_ = orig_finalize(*a)
+            fin_log.append(dict(ok=bool(fin.ok), lm_cost=float(fin.lm_cost),
+                                wTo_t=np.asarray(fin.wTo)[:3, 3].tolist()))
+            return fin, exp, wTc_obj, d_
+        ov._finalize = logged_finalize
+
+    t0 = time.time()
+    for k in range(n_frames):
+        fr = jax.tree.map(lambda x: x[k], data.frames)
+        Rc2w = gt_R[k] @ np.asarray(R_b2c).T
+        tcw = gt_p[k] + gt_R[k] @ np.asarray(t_c_b)
+        wTc = np.eye(4)
+        wTc[:3, :3] = Rc2w
+        wTc[:3, 3] = tcw
+        img, boxes = render_frame(wTc)
+        M = 4
+        bx = np.zeros((M, 4))
+        valid = np.zeros(M, bool)
+        nb = min(len(boxes), M)
+        bx[:nb] = boxes[:nb]
+        valid[:nb] = True
+        if debug:
+            det_kps, det_kps_mask = detector(img * 255.0, bx, valid)
+            fxx, fyy, cxx, cyy = detector.K_cam
+            b = np.asarray(bx, np.float64)
+            boxes_norm = np.stack([(b[:, 0] - cxx) / fxx, (b[:, 1] - cyy) / fyy,
+                                   (b[:, 2] - cxx) / fxx, (b[:, 3] - cyy) / fyy],
+                                  axis=1)
+            ov.step(fr, boxes_norm, np.zeros(M, np.int32), det_kps,
+                    det_kps_mask, valid)
+            live = np.asarray(ov.sort.track_id) >= 0
+            stages.append(dict(
+                frame=k, n_boxes=int(valid.sum()),
+                kp_found=det_kps_mask.sum(axis=1)[valid].tolist(),
+                sort_live=int(live.sum()),
+                table_oids=np.asarray(ov.table.oid)[
+                    np.asarray(ov.table.oid) >= 0].tolist(),
+                table_n=np.asarray(ov.table.n)[
+                    np.asarray(ov.table.oid) >= 0].tolist(),
+            ))
+        else:
+            ov.step_image(fr, img * 255.0, bx, np.zeros(M, np.int32), valid,
+                          detector)
+    last = jax.tree.map(lambda x: x[n_frames - 1], data.frames)
+    for _ in range(ocfg.sort.max_age + 2):
+        ov.step_image(last, np.full((H, W), 90.0), np.zeros((4, 4)),
+                      np.zeros(4, np.int32), np.zeros(4, bool), detector)
+    dt = time.time() - t0
+
+    est_list = [
+        dict(t=np.asarray(o["wTo"])[:3, 3],
+             yaw=yaw_of_pose(np.asarray(o["wTo"])),
+             shape=(2 * o["shape"][2], 2 * o["shape"][1], 2 * o["shape"][0]))
+        for o in ov.object_map.values()
+    ]
+    gt_list = [
+        dict(t=o["t"], yaw=yaw_of_pose(o["wTo"]),
+             shape=(2 * o["shape"][2], 2 * o["shape"][1], 2 * o["shape"][0]))
+        for o in objs
+    ]
+    mean_iou, n_matched, pairs = match_and_mean_iou(est_list, gt_list)
+    return dict(mean_iou=mean_iou, n_matched=n_matched, n_est=len(est_list),
+                n_gt=len(gt_list), seconds=dt, stages=stages,
+                finalizations=fin_log, object_map=ov.object_map,
+                gt_list=gt_list)

@@ -123,7 +123,10 @@ def analytic_detections(wc: WorldConfig, objs, wTc, rng):
 
 
 def run_object_mapping(wc: WorldConfig, use_object_update: bool = True,
-                       dtype=jnp.float64):
+                       dtype=jnp.float64, sigma_obj: float | None = None,
+                       transport: bool = True, smooth_keypoints: bool = True,
+                       merge_duplicates: bool = True,
+                       collect_diag: bool = False):
     """Full pipeline run; returns dict with iou stats, ATE, and the map."""
     rng = np.random.default_rng(wc.seed + 1)
     objs = make_world(wc)
@@ -136,22 +139,52 @@ def run_object_mapping(wc: WorldConfig, use_object_update: bool = True,
     gt_R = np.asarray(data.gt_R)
     gt_p = np.asarray(data.gt_p)
 
-    fcfg = FilterConfig(sw_size=10, max_features=80, max_track_len=6,
-                        imu_slab=sim.imu_slab, observation_noise=0.004,
-                        tri_translation_threshold=-1.0)
+    fkw = dict(sw_size=10, max_features=80, max_track_len=6,
+               imu_slab=sim.imu_slab, observation_noise=0.004,
+               tri_translation_threshold=-1.0,
+               object_residual_transport=transport)
+    if sigma_obj is not None:
+        fkw["object_observation_noise"] = sigma_obj
+    fcfg = FilterConfig(**fkw)
     ocfg = ObjectVioConfig(
         filter=fcfg,
         lm=ObjectLMConfig(iters=25),
         manager=ManagerConfig(capacity=wc.max_det + 4, window=45, n_kps=12,
                               pose_history=256, min_frames=12,
-                              smooth_keypoints=True),
+                              smooth_keypoints=smooth_keypoints),
         sort=SortConfig(capacity=wc.max_det + 4, max_age=3, min_hits=2,
                         iou_threshold=0.1),
         kps_mean=tuple(map(tuple, CAR_KEYPOINTS)),
         shape_mean=(0.80, 2.00, 0.70),
         use_object_residual_update=use_object_update,
+        merge_duplicates=merge_duplicates,
     )
     ov = ObjectVio(ocfg, max_obs=sim.max_obs, dtype=dtype)
+
+    diag_log: List[dict] = []
+    if collect_diag:
+        def _hook(oid, fs_before, fs_after, used, diag, entry):
+            # clone position error vs GT before/after this update
+            tb = np.asarray(fs_before.clones.t)
+            val = np.asarray(fs_before.clones.valid)
+            idx = np.clip(np.rint(tb * sim.frame_hz).astype(int) - 1, 0,
+                          wc.n_frames - 1)
+            gt = gt_p[idx]
+            eb = np.linalg.norm(np.asarray(fs_before.clones.p) - gt, axis=1)
+            ea = np.linalg.norm(np.asarray(fs_after.clones.p) - gt, axis=1)
+            diag_log.append(dict(
+                oid=int(oid), used=bool(used),
+                gamma=float(diag.gamma), dof=int(diag.dof),
+                threshold=float(diag.threshold), n_rows=int(diag.n_rows),
+                n_frames=int(diag.n_frames),
+                dx_clone_p=float(diag.dx_clone_p),
+                err_before=float(np.mean(eb[val])),
+                err_after=float(np.mean(ea[val])),
+                r_rms=float(diag.r_rms), rp_rms=float(diag.rp_rms),
+                h_max=float(diag.h_max), lm_cost=entry["lm_cost"],
+                n_obs_frames=len(entry["timestamps"]),
+            ))
+        ov.update_hook = _hook
 
     # GT-initialized filter (initial_use_gt mode, orcvio.cpp:123-146)
     st = FilterState.create(fcfg, dtype)
@@ -206,4 +239,5 @@ def run_object_mapping(wc: WorldConfig, use_object_update: bool = True,
     ate = float(np.sqrt(np.mean(np.sum((est_p - gt_p) ** 2, axis=1))))
     return dict(mean_iou=mean_iou, n_matched=n_matched, n_est=len(est_list),
                 n_gt=len(gt_list), pairs=pairs, pr=pr, ate_m=ate,
-                object_map=ov.object_map, est_p=est_p, gt_p=gt_p)
+                object_map=ov.object_map, est_p=est_p, gt_p=gt_p,
+                diag=diag_log)

@@ -125,12 +125,27 @@ def build_object_H(cfg: FilterConfig, state: FilterState, exp: EkfExport, wTc_ob
     return Hx, Hf, r, row_mask_frame.reshape(M_rows), jnp.any(matched)
 
 
+class UpdateDiag(NamedTuple):
+    """Per-update diagnostics (all scalars) for triage/observability."""
+
+    gamma: jnp.ndarray  # chi2 statistic r' S^-1 r
+    dof: jnp.ndarray  # gating dof (clipped to table)
+    threshold: jnp.ndarray  # chi2 table value used
+    n_rows: jnp.ndarray  # active residual rows
+    n_frames: jnp.ndarray  # object frames matched to window clones
+    gate_ok: jnp.ndarray
+    dx_clone_p: jnp.ndarray  # norm of clone-position correction
+    r_rms: jnp.ndarray  # RMS of active raw residual rows
+    rp_rms: jnp.ndarray  # RMS of the nullspace-projected residual
+    h_max: jnp.ndarray  # max |H_x| entry (Jacobian scale)
+
+
 def object_ekf_update(cfg: FilterConfig, state: FilterState, exp: EkfExport, wTc_obj, obj_t, chi2_table):
     """Full object update: build H -> nullspace -> gate -> update.
 
-    Ref: removeLostObjects (orcvio.cpp:2154). Returns (state, used: bool).
-    Traced under HIGHEST matmul precision for the same covariance-stability
-    reason as filter_step."""
+    Ref: removeLostObjects (orcvio.cpp:2154). Returns (state, used: bool,
+    diag: UpdateDiag). Traced under HIGHEST matmul precision for the same
+    covariance-stability reason as filter_step."""
     with jax.default_matmul_precision("highest"):
         return _object_ekf_update(cfg, state, exp, wTc_obj, obj_t, chi2_table)
 
@@ -160,5 +175,16 @@ def _object_ekf_update(cfg, state, exp, wTc_obj, obj_t, chi2_table):
     # K(cH, cr, c*sigma) dx == K(H, r, sigma) dx for any c > 0)
     c = cfg.observation_noise / sigma_obj
     new_state, dx = apply_ekf_update(cfg, state, c * Hx_p, c * r_p)
-    state = jax.tree.map(lambda a, b: jnp.where(use, a, b), new_state, state)
-    return state, use
+    out = jax.tree.map(lambda a, b: jnp.where(use, a, b), new_state, state)
+    T = obj_t.shape[0]
+    slot, matched = match_timestamps(obj_t, state.clones.t, state.clones.valid)
+    nr = jnp.maximum(n_rows, 1)
+    diag = UpdateDiag(
+        gamma=gamma, dof=dof, threshold=chi2_table[dof], n_rows=n_rows,
+        n_frames=jnp.sum(matched), gate_ok=gate_ok,
+        dx_clone_p=jnp.linalg.norm(new_state.clones.p - state.clones.p),
+        r_rms=jnp.sqrt(jnp.sum(r**2) / nr),
+        rp_rms=jnp.sqrt(jnp.sum(r_p**2) / nr),
+        h_max=jnp.max(jnp.abs(Hx_p)),
+    )
+    return out, use, diag

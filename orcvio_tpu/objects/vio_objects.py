@@ -46,6 +46,14 @@ class ObjectVioConfig(NamedTuple):
     shape_mean: tuple  # (3,)
     use_object_residual_update: bool = True  # use_object_residual_update_cam_pose_flag
     use_ransac: bool = True
+    # merge re-finalized tracks of the same physical object: a new estimate
+    # whose center lands within merge_distance of an existing same-class map
+    # entry replaces/updates that entry instead of creating a duplicate.
+    # (The reference keys its map by SORT track id and re-entries of the same
+    # car spawn new entries — see ObjectInitNode.cpp:986-1035; this is map
+    # hygiene the reference lacks.)
+    merge_duplicates: bool = False
+    merge_distance: float = 2.0
 
 
 class ObjectVio:
@@ -62,6 +70,9 @@ class ObjectVio:
         self.kps_mean = jnp.asarray(cfg.kps_mean, dtype)
         self.shape_mean = jnp.asarray(cfg.shape_mean, dtype)
         self.object_map: Dict[int, dict] = {}
+        # optional host-side hook called after every attempted object EKF
+        # update: hook(oid, fs_before, fs_after, used, diag: UpdateDiag)
+        self.update_hook = None
 
         fcfg = cfg.filter
         self._vio_step = jax.jit(lambda s, f: vio_step(fcfg, s, f, self.chi2))
@@ -86,6 +97,35 @@ class ObjectVio:
 
     def set_filter_state(self, filter_state):
         self.vio = self.vio.replace(filter=filter_state)
+
+    def _merge_key(self, oid: int, entry: dict) -> int:
+        """Map key for a finalized estimate: an existing same-class entry
+        within merge_distance (3D center), else the new track id."""
+        c_new = entry["wTo"][:3, 3]
+        best, best_d = oid, self.cfg.merge_distance
+        for k, e in self.object_map.items():
+            if e["class_id"] != entry["class_id"]:
+                continue
+            d = float(np.linalg.norm(e["wTo"][:3, 3] - c_new))
+            if d < best_d:
+                best, best_d = k, d
+        return best
+
+    def _merged(self, oid: int, entry: dict) -> dict:
+        """Combine with an existing entry under the same key: keep the
+        estimate supported by more frames, accumulate the union of
+        timestamps and the number of merged tracks."""
+        old = self.object_map.get(oid)
+        if old is None:
+            entry["n_tracks"] = 1
+            return entry
+        keep = entry if len(entry["timestamps"]) >= len(old["timestamps"]) else old
+        out = dict(keep)
+        out["timestamps"] = sorted(set(old["timestamps"]) | set(entry["timestamps"]))
+        out["n_tracks"] = old.get("n_tracks", 1) + 1
+        if old.get("ekf_update_applied"):
+            out["ekf_update_applied"] = True
+        return out
 
     def step_image(self, frame: FrameInput, img, det_boxes_px, det_classes,
                    det_valid, detector):
@@ -154,16 +194,22 @@ class ObjectVio:
             )
             if bool(fin.ok):
                 oid = int(self.table.oid[r])
-                self.object_map[oid] = dict(
+                entry = dict(
                     wTo=np.asarray(fin.wTo), shape=np.asarray(fin.shape),
                     kps_world=np.asarray(fin.kps_world), lm_cost=float(fin.lm_cost),
                     class_id=int(self.table.class_id[r]),
                     timestamps=np.asarray(self.table.t[r])[: int(self.table.n[r])].tolist(),
                 )
+                if cfg.merge_duplicates:
+                    oid = self._merge_key(oid, entry)
+                self.object_map[oid] = self._merged(oid, entry)
                 if cfg.use_object_residual_update:
-                    new_fs, used = self._obj_update(
+                    new_fs, used, diag = self._obj_update(
                         self.vio.filter, exp, wTc_obj, self.table.t[r]
                     )
+                    if self.update_hook is not None:
+                        self.update_hook(oid, self.vio.filter, new_fs,
+                                         bool(used), diag, entry)
                     if bool(used):
                         self.vio = self.vio.replace(filter=new_fs)
                         self.object_map[oid]["ekf_update_applied"] = True

@@ -112,7 +112,10 @@ class TestBuildObjectH:
 class TestObjectEkfUpdate:
     def test_update_reduces_clone_error(self):
         cfg, st, st_obj, data, wTc = make_world()
-        cfg = FilterConfig(**{**cfg.__dict__, "observation_noise": 0.004})
+        # pin sigma_obj = the (noise-free) synthetic measurement scale: this
+        # test checks the update algebra, not the production noise default
+        cfg = FilterConfig(**{**cfg.__dict__, "observation_noise": 0.004,
+                              "object_observation_noise": 0.004})
         lmc = ObjectLMConfig()
         chi2 = build_chi2_table(cfg, jnp.float64)
         # independent clone uncertainty (the reference contract test uses
@@ -125,7 +128,7 @@ class TestObjectEkfUpdate:
         wTc_p = se3.make_pose(R2, t2)[:5]
         data_p = data._replace(cTw=se3.inverse_pose(wTc_p))
         exp = export_for_update(lmc, st_obj, data_p)
-        st_new, used = object_ekf_update(cfg, st_pert, exp, wTc_p, jnp.arange(5.0), chi2)
+        st_new, used, _diag = object_ekf_update(cfg, st_pert, exp, wTc_p, jnp.arange(5.0), chi2)
         assert bool(used)
         # the correction must point along the true error (up to the 7-dof
         # similarity gauge the single-object residual cannot observe);
@@ -147,6 +150,6 @@ class TestObjectEkfUpdate:
         # large -> gate must reject
         data_bad = data._replace(zs=data.zs + jnp.asarray(RNG.normal(size=data.zs.shape)) * 0.3)
         exp = export_for_update(lmc, st_obj, data_bad)
-        st_new, used = object_ekf_update(cfg, st, exp, wTc, jnp.arange(5.0), chi2)
+        st_new, used, _diag = object_ekf_update(cfg, st, exp, wTc, jnp.arange(5.0), chi2)
         assert not bool(used)
         assert np.allclose(np.asarray(st_new.P), np.asarray(st.P))
