@@ -263,6 +263,105 @@ def measure_filter_aggregate() -> dict:
     return {"filter_fps_batched": round(fps, 1), "filter_batch": B}
 
 
+def measure_objects_e2e(n_frames: int = 300) -> dict:
+    """Objects-mode throughput on-chip: the staged scan (VIO + SORT + ingest
+    + init/LM finalize + map merge + object-residual EKF update,
+    objects/staged.py) over the 12-car synthetic world, float32."""
+    import jax
+    import jax.numpy as jnp
+
+    from orcvio_tpu.config.core import FilterConfig
+    from orcvio_tpu.dataio.render_object import CAR_KEYPOINTS
+    from orcvio_tpu.dataio.synthetic import SimConfig, generate, initial_state_np
+    from orcvio_tpu.eval.object_map_sim import (
+        WorldConfig, analytic_detections, make_world,
+    )
+    from orcvio_tpu.objects.lm import ObjectLMConfig
+    from orcvio_tpu.objects.manager import ManagerConfig
+    from orcvio_tpu.objects.sort import SortConfig
+    from orcvio_tpu.objects.staged import ObjectsStream, make_objects_replay
+    from orcvio_tpu.objects.vio_objects import ObjectVioConfig
+    from orcvio_tpu.vio import VioState
+
+    dtype = jnp.float32
+    wc = WorldConfig(n_frames=n_frames)
+    rng = np.random.default_rng(wc.seed + 1)
+    objs = make_world(wc)
+    sim = SimConfig(n_frames=wc.n_frames, n_landmarks=400, max_obs=50,
+                    uv_noise=wc.uv_noise, seed=wc.seed, radius=3.0, omega=0.5)
+    np32 = np.float32
+    R_b2c = np.asarray([[0., -1, 0], [0, 0, -1], [1, 0, 0]], np32)
+    t_c_b = np.asarray([0.05, 0.02, 0.0], np32)
+    data = generate(sim, R_b2c=R_b2c, t_c_b=t_c_b)
+    gt_R = np.asarray(data.gt_R)
+    gt_p = np.asarray(data.gt_p)
+
+    fcfg = FilterConfig(sw_size=10, max_features=80, max_track_len=6,
+                        imu_slab=sim.imu_slab, observation_noise=0.004,
+                        tri_translation_threshold=-1.0)
+    ocfg = ObjectVioConfig(
+        filter=fcfg, lm=ObjectLMConfig(iters=25),
+        manager=ManagerConfig(capacity=wc.max_det + 4, window=45, n_kps=12,
+                              pose_history=256, min_frames=12,
+                              smooth_keypoints=True),
+        sort=SortConfig(capacity=wc.max_det + 4, max_age=3, min_hits=2,
+                        iou_threshold=0.1),
+        kps_mean=tuple(map(tuple, CAR_KEYPOINTS)),
+        shape_mean=(0.80, 2.00, 0.70),
+        use_object_residual_update=True, merge_duplicates=True)
+
+    T, M = wc.n_frames, wc.max_det
+    bx = np.zeros((T, M, 4), np32)
+    cl = np.zeros((T, M), np.int32)
+    kp = np.zeros((T, M, 12, 2), np32)
+    km = np.zeros((T, M, 12), bool)
+    vl = np.zeros((T, M), bool)
+    for k in range(T):
+        Rc2w = gt_R[k] @ R_b2c.T
+        tcw = gt_p[k] + gt_R[k] @ t_c_b
+        wTc = np.eye(4)
+        wTc[:3, :3] = Rc2w
+        wTc[:3, 3] = tcw
+        bx[k], cl[k], kp[k], km[k], vl[k], _ = analytic_detections(
+            wc, objs, wTc, rng)
+    stream = ObjectsStream(boxes=jnp.asarray(bx), classes=jnp.asarray(cl),
+                           kps=jnp.asarray(kp), kps_mask=jnp.asarray(km),
+                           valid=jnp.asarray(vl))
+
+    vs = VioState.create(fcfg, sim.max_obs, dtype)
+    st = vs.filter
+    R0, p0, v0 = initial_state_np(sim)
+    imu = st.imu.replace(R=jnp.asarray(R0, dtype), p=jnp.asarray(p0, dtype),
+                         v=jnp.asarray(v0, dtype))
+    d = np.asarray(fcfg.initial_cov_diag())
+    d[:15] = 1e-6
+    st = st.replace(imu=imu, imu_fej_now=imu, imu_old=imu,
+                    R_b2c=jnp.asarray(R_b2c), t_c_b=jnp.asarray(t_c_b),
+                    P=jnp.asarray(np.diag(d), dtype),
+                    initialized=jnp.ones((), bool))
+    vs = vs.replace(filter=st)
+
+    replay = make_objects_replay(ocfg, sim.max_obs, map_capacity=32,
+                                 dtype=dtype)
+    frames = jax.tree.map(
+        lambda x: x.astype(dtype) if x.dtype.kind == "f" else x, data.frames)
+    rj = jax.jit(replay)
+    carry0 = replay.init_carry(vs)
+    carry, outs = rj(carry0, frames, stream)
+    jax.block_until_ready(carry.omap.valid)
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        carry, outs = rj(carry0, frames, stream)
+    jax.block_until_ready(carry.omap.valid)
+    fps = T * reps / (time.perf_counter() - t0)
+    est_p = np.asarray(outs["p"])
+    ate = float(np.sqrt(np.mean(np.sum((est_p - gt_p) ** 2, axis=1))))
+    return {"e2e_objects_fps": round(fps, 1),
+            "objects_map_n": int(np.asarray(carry.omap.valid).sum()),
+            "objects_ate_m": round(ate, 4)}
+
+
 def measure_scaling_efficiency() -> dict:
     """Weak-scaling efficiency via the 4-process jax.distributed demo
     (core-isolated single-device workers on the CPU backend — the honest
@@ -296,6 +395,11 @@ def main():
     ours = measure_ours(seq_root, n)
     filt = measure_filter_aggregate()
     scal = measure_scaling_efficiency()
+    try:
+        objm = measure_objects_e2e()
+    except Exception as e:  # noqa: BLE001 — bench must always produce a line
+        objm = {"e2e_objects_fps": float("nan"),
+                "objects_error": str(e)[:200]}
 
     ref_fps = float(ref.get("fps", REF_FALLBACK["fps"]))
     ref_backend_fps = (
@@ -324,6 +428,7 @@ def main():
         "ate_m_ours": ours["ate_m"],
         "ate_m_ref": ref_ate,
         "bench_frames": n,
+        **objm,
         **scal,
     }))
 

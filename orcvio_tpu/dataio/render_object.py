@@ -221,18 +221,29 @@ def random_view(rng, size: int = 96, dist_range=(4.5, 9.0),
                     0.7 + d * np.sin(el)])
     target = np.array([0.0, 0.0, 0.7]) + rng.normal(0, 0.15, 3)
     R_w2c = look_at(cam, target)
-    f = size * d / rng.uniform(5.2, 7.0)  # car spans ~half the crop
+    # car span 0.45-0.8 of the crop: the deployment crop puts the bbox at
+    # 1/1.5 of the square (detector margin 0.75 * max extent)
+    f = size * d / rng.uniform(4.2, 7.5)
     K = (f, f, size / 2 + rng.normal(0, 2), size / 2 + rng.normal(0, 2))
     return R_w2c, cam, K
 
 
-def make_training_batch(rng, batch: int, size: int = 96, heat_sigma=1.0):
+
+
+def make_training_batch(rng, batch: int, size: int = 96, heat_sigma=1.0,
+                        clutter: bool = True, blur_augment: bool = True):
     """(images (B,S,S,3), targets (B,S/4,S/4,5), masks (B,S/4,S/4,1)).
 
     Target channels: [heat, cvf_x, cvf_y, cvf_z, depth_norm]; cvf/depth are
     supervised only where mask > 0 (the keypoint neighborhoods). Depth is
     normalized by the camera distance to the object center (starmap depth
     channel convention: relative, scale-free).
+
+    ``clutter`` paints distractor quads and (sometimes) a second unlabeled
+    car under the target car; ``blur_augment`` downsamples+upsamples the
+    final image — both match the deployment regime (bbox crops of far cars
+    from composite scenes, upscaled to the network input; round-4 measured
+    the round-2 checkpoint's identity head at chance level there).
     """
     S = size
     Hh = S // 4
@@ -246,11 +257,37 @@ def make_training_batch(rng, batch: int, size: int = 96, heat_sigma=1.0):
     for b in range(batch):
         R_w2c, cam, K = random_view(rng, S)
         bg = rng.uniform(0.15, 0.75) + rng.normal(0, 0.05, (S, S))
+        bg = bg.astype(np.float32)
+        if clutter:
+            for _ in range(rng.integers(0, 4)):
+                w = rng.integers(4, S // 2)
+                h = rng.integers(4, S // 2)
+                x = rng.integers(0, S - 4)
+                y = rng.integers(0, S - 4)
+                bg[y:y + h, x:x + w] = np.clip(
+                    bg[y:y + h, x:x + w] + rng.uniform(-0.35, 0.35), 0, 1)
+            if rng.uniform() < 0.35:
+                # unlabeled distractor car behind the target (composite-scene
+                # look); the target car is drawn after and overdraws it
+                R2, cam2, _ = random_view(rng, S)
+                cam2 = cam2 + rng.normal(0, 2.0, 3)
+                r2 = render_car(R2, cam2, K, S, albedo=rng.uniform(0.35, 0.85),
+                                background=bg, rng=rng)
+                bg = np.asarray(r2.image)
         r = render_car(R_w2c, cam, K, S,
                        albedo=rng.uniform(0.35, 0.85),
                        light=rng.normal(0, 1, 3) + np.array([0, 0, 1.5]),
-                       background=bg.astype(np.float32), rng=rng)
-        imgs[b] = r.image
+                       background=bg, rng=rng)
+        im = np.asarray(r.image)
+        if blur_augment and rng.uniform() < 0.6:
+            import cv2
+
+            s = int(rng.integers(30, S))
+            sub = cv2.resize(im, (s, s), interpolation=cv2.INTER_AREA)
+            im = cv2.resize(sub, (S, S), interpolation=cv2.INTER_LINEAR)
+            im = np.clip(im + rng.normal(0, rng.uniform(0.005, 0.03), im.shape),
+                         0, 1).astype(np.float32)
+        imgs[b] = im
         d0 = np.linalg.norm(cam - np.array([0.0, 0.0, 0.7]))
         for k in range(N_KEYPOINTS):
             if not r.kp_visible[k]:

@@ -123,7 +123,9 @@ def run_cnn_object_mapping(quick: bool = False, debug: bool = False,
         def logged_finalize(*a):
             fin, exp, wTc_obj, d_ = orig_finalize(*a)
             fin_log.append(dict(ok=bool(fin.ok), lm_cost=float(fin.lm_cost),
-                                wTo_t=np.asarray(fin.wTo)[:3, 3].tolist()))
+                                wTo_t=np.asarray(fin.wTo)[:3, 3].tolist(),
+                                inputs=[np.asarray(x) for x in a[:6]],
+                                poses=a[6]))
             return fin, exp, wTc_obj, d_
         ov._finalize = logged_finalize
 

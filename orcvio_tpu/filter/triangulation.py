@@ -59,8 +59,17 @@ def check_motion(ct: CompactTracks, R_c2w, t_c_w, threshold):
     return (jnp.linalg.norm(ortho, axis=1) > threshold) | (threshold < 0)
 
 
-def triangulate(cfg: FilterConfig, ct: CompactTracks, R_c2w, t_c_w) -> TriResult:
-    """Triangulate every feature row. Ref: Feature::triangulate_position (feature.hpp:583)."""
+def triangulate(cfg: FilterConfig, ct: CompactTracks, R_c2w, t_c_w,
+                p_init_world=None) -> TriResult:
+    """Triangulate every feature row. Ref: Feature::triangulate_position (feature.hpp:583).
+
+    p_init_world (F, 3), optional: a world-frame prior point per feature
+    (e.g. the bbox-derived object center for semantic keypoints). When given
+    and finite, its anchor-frame depth replaces the two-view initial depth —
+    the two-view guess degenerates to 1 m under near-parallel rays or
+    identity-swapped tracks, and the LM then converges to a collapsed
+    depth~0 minimum.
+    """
     F, T, _ = ct.uv.shape
     dtype = ct.uv.dtype
     Rg, tg = _gathered_cams(ct, R_c2w, t_c_w)
@@ -85,6 +94,10 @@ def triangulate(cfg: FilterConfig, ct: CompactTracks, R_c2w, t_c_w) -> TriResult
     denom = A0 * A0 + A1 * A1
     depth = jnp.where(denom > 1e-12, (A0 * b0 + A1 * b1) / jnp.maximum(denom, 1e-12), 1.0)
     depth = jnp.clip(depth, 0.1, 1e3)
+    if p_init_world is not None:
+        h_a = jnp.einsum("fji,fj->fi", R_a, p_init_world - t_a)  # anchor frame
+        prior_ok = jnp.all(jnp.isfinite(p_init_world), axis=1) & (h_a[:, 2] > 0.2)
+        depth = jnp.where(prior_ok, jnp.clip(h_a[:, 2], 0.2, 1e3), depth)
     x0 = jnp.stack([z_anchor[:, 0], z_anchor[:, 1], 1.0 / depth], axis=1)
 
     # --- damped Gauss-Newton with accept/reject (LM) ---

@@ -208,6 +208,10 @@ def detect_keypoints(params, batch_stats, model: StarMapNet, crop, canonical_poi
     return dict(
         kp_xy=xy[best_idx], kp_score=score[best_idx], kp_cov=cov[best_idx],
         kp_depth=depth[best_idx], found=found,
+        # raw peaks, pre part-merge: callers can re-label them with joint
+        # geometric assignment (objects/detector.py) instead of the
+        # independent nearest-cvf labels above
+        peaks_xy=xy, peaks_score=score, peaks_valid=valid, peaks_cvf=cvf,
     )
 
 

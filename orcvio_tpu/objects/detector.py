@@ -27,7 +27,8 @@ class StarMapKeypointDetector:
 
     def __init__(self, canonical, K_cam, path: str | None = None,
                  dist_model: str = "radtan", dist_coeffs=(0.0, 0.0, 0.0, 0.0),
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, geometric_labels: bool = True,
+                 yaw_bins: int = 36):
         from ..models.starmap import detect_keypoints, load_pretrained
 
         model, params, bs, meta = load_pretrained(path)
@@ -36,6 +37,10 @@ class StarMapKeypointDetector:
         self.dist_model = dist_model
         self.dist_coeffs = tuple(dist_coeffs)
         self.n_kps = int(np.asarray(canonical).shape[0])
+        self.canonical_np = np.asarray(canonical, np.float64)
+        self.geometric_labels = geometric_labels
+        self._proj_templates = (
+            self._build_yaw_templates(yaw_bins) if geometric_labels else None)
         canon = jnp.asarray(canonical, dtype)
         size = self.size
 
@@ -48,6 +53,107 @@ class StarMapKeypointDetector:
             return jax.image.resize(patch, (size, size), "linear")
 
         self._resize = jax.jit(resize, static_argnums=())
+
+    def _build_yaw_templates(self, yaw_bins: int, elevations=(0.1, 0.35),
+                             dist_factor: float = 3.0):
+        """Bbox-normalized 2D projections of the canonical keypoints over a
+        (yaw x elevation) view grid.
+
+        The cvf identity head of a small hourglass cannot disambiguate the
+        left/right-symmetric car keypoints (measured: own-label error
+        55-160 px where best-label is 5-25 px — identity, not localization,
+        breaks the CNN-in-the-loop path). Label assignment by JOINT geometry
+        is robust: project the canonical structure at each candidate view,
+        normalize to its 2D bounding box, and match detected peaks (also
+        bbox-normalized) by nearest-neighbor; the best-scoring view's
+        matching gives the labels, with the cvf distance only breaking the
+        mirror-symmetry ties. Returns (V, K, 2) templates in [0, 1]^2.
+        """
+        from ..dataio.render_object import look_at, render_car
+
+        kps = self.canonical_np
+        d = dist_factor * float(np.max(np.linalg.norm(kps, axis=1)))
+        S = 96
+        f = S * d / 6.0
+        Kc = (f, f, S / 2, S / 2)
+        rng = np.random.default_rng(0)
+        temps, vises = [], []
+        ctr = kps.mean(axis=0)
+        for el in elevations:
+            for g in np.linspace(0, 2 * np.pi, yaw_bins, endpoint=False):
+                cam = ctr + np.array([d * np.cos(el) * np.cos(g),
+                                      d * np.cos(el) * np.sin(g),
+                                      d * np.sin(el)])
+                R_w2c = look_at(cam, ctr)
+                r = render_car(R_w2c, cam, Kc, S, rng=rng)
+                vis = r.kp_visible
+                if vis.sum() < 3:
+                    continue
+                uv = r.kp_uv.astype(np.float64)
+                lo = uv[vis].min(axis=0)
+                span = np.maximum(uv[vis].max(axis=0) - lo, 1e-6)
+                temps.append((uv - lo) / span)
+                vises.append(vis)
+        return np.asarray(temps), np.asarray(vises)  # (V, K, 2), (V, K)
+
+    def _assign_geometric(self, peaks_xy, peaks_valid, peaks_cvf, peaks_score,
+                          bbox_hm):
+        """Joint label assignment: best (yaw, elevation) template by greedy
+        2D matching in bbox-normalized coordinates; cvf breaks ties.
+
+        peaks_xy: (P, 2) heatmap coords; bbox_hm: (4,) the DETECTION bbox in
+        heatmap coords — both peaks and templates normalize to the full-car
+        extent (normalizing peaks by their own bbox breaks down when the CNN
+        detects only a subset of the visible keypoints).
+        Returns (best_idx (K,), found (K,)) or None.
+        """
+        K = self.n_kps
+        P = peaks_xy.shape[0]
+        # absolute + relative score gate: real keypoints cluster near the max
+        # peak score while hallucinated peaks trail far below it
+        smax = float(np.max(np.where(peaks_valid, peaks_score, 0.0)))
+        v = peaks_valid & (peaks_score > max(0.45, 0.55 * smax))
+        if v.sum() < 3:
+            # too few peaks for joint geometry: keep cvf-nearest labels
+            return None
+        lo = np.asarray(bbox_hm[:2])
+        span = np.maximum(np.asarray(bbox_hm[2:]) - lo, 1e-6)
+        pn = (peaks_xy - lo) / span  # (P, 2)
+        cvf_d = np.linalg.norm(
+            peaks_cvf[:, None, :] - self.canonical_np[None, :, :], axis=-1)
+        cvf_cost = 0.12 * cvf_d / max(1.0, np.max(np.linalg.norm(
+            self.canonical_np, axis=1)))
+        best = (None, np.inf)
+        templates, t_vis = self._proj_templates
+        for tmpl, tv in zip(templates, t_vis):
+            d2 = np.linalg.norm(pn[:, None, :] - tmpl[None, :, :], axis=-1)
+            cost = d2 + cvf_cost
+            cost[~v] = np.inf
+            cost[:, ~tv] = np.inf  # occluded at this view: unmatched
+            # greedy one-to-one matching, cheapest pair first
+            c = cost.copy()
+            assign = np.full(K, -1, np.int64)
+            total, matched = 0.0, 0
+            for _ in range(min(int(v.sum()), K)):
+                i = np.argmin(c)
+                pi, ki = divmod(i, K)
+                if not np.isfinite(c[pi, ki]) or d2[pi, ki] > 0.35:
+                    break
+                assign[ki] = pi
+                total += cost[pi, ki]
+                matched += 1
+                c[pi, :] = np.inf
+                c[:, ki] = np.inf
+            if matched < 3:
+                continue
+            score = total / matched - 0.08 * matched
+            if score < best[1]:
+                best = (assign, score)
+        if best[0] is None:
+            return None
+        assign = best[0]
+        found = assign >= 0
+        return np.where(found, assign, 0), found
 
     def __call__(self, img: np.ndarray, boxes_px: np.ndarray, valid):
         """img (H, W) float [0,255] or [0,1]; boxes_px (M, 4) pixel bboxes.
@@ -83,6 +189,21 @@ class StarMapKeypointDetector:
             det = self._infer(crop3)
             found = np.asarray(det["found"])
             uv_heat = np.asarray(det["kp_xy"])  # heatmap pixels (size/4 grid)
+            if self.geometric_labels:
+                sx_ = (x1i - x0i) / self.size
+                sy_ = (y1i - y0i) / self.size
+                bbox_hm = np.array([(x0 - x0i) / sx_ / 4.0,
+                                    (y0 - y0i) / sy_ / 4.0,
+                                    (x1 - x0i) / sx_ / 4.0,
+                                    (y1 - y0i) / sy_ / 4.0])
+                res = self._assign_geometric(
+                    np.asarray(det["peaks_xy"], np.float64),
+                    np.asarray(det["peaks_valid"]),
+                    np.asarray(det["peaks_cvf"], np.float64),
+                    np.asarray(det["peaks_score"], np.float64), bbox_hm)
+                if res is not None:
+                    assign, found = res
+                    uv_heat = np.asarray(det["peaks_xy"], np.float64)[assign]
             # heatmap -> crop -> image pixels
             sx = (x1i - x0i) / self.size
             sy = (y1i - y0i) / self.size

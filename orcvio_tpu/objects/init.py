@@ -23,7 +23,8 @@ from ..filter.triangulation import triangulate
 from ..math import se3
 
 
-def triangulate_keypoints(cfg: FilterConfig, zs, zs_mask, R_c2w, t_c_w):
+def triangulate_keypoints(cfg: FilterConfig, zs, zs_mask, R_c2w, t_c_w,
+                          p_init_world=None):
     """Triangulate each semantic keypoint across frames.
 
     zs: (T, K, 2) normalized measurements; zs_mask: (T, K); camera poses
@@ -49,7 +50,7 @@ def triangulate_keypoints(cfg: FilterConfig, zs, zs_mask, R_c2w, t_c_w):
         mask=mask_c,
         n_obs=jnp.sum(mask_c, axis=1).astype(jnp.int32),
     )
-    tri = triangulate(cfg, ct, R_c2w, t_c_w)
+    tri = triangulate(cfg, ct, R_c2w, t_c_w, p_init_world=p_init_world)
     return tri.p_world, tri.valid & (ct.n_obs >= 2)
 
 
@@ -120,13 +121,41 @@ def kabsch_ransac(mean_shape, world_kps, valid, inlier_threshold=20.0):
 def object_initialization(
     cfg: FilterConfig, zs, zs_mask, R_c2w, t_c_w, mean_shape,
     use_ransac=True, estimate_se2=False,
+    zb=None, zb_mask=None, shape_ellipsoid=None,
 ):
     """Full init: triangulate keypoints -> Kabsch (+RANSAC) -> optional SE(2).
 
     Ref: single_object_initialization (ObjectFeatureInitializer.cpp:33-199).
     Returns (wTq (4,4), success, kps_world (K,3), kps_valid (K,)).
+
+    When per-frame bboxes (zb (T, 4), zb_mask (T,)) and the class ellipsoid
+    (shape_ellipsoid (3,)) are given, the bbox-only lite geometry
+    (ObjectFeatureInitializer.cpp:497) supplies (a) the initial DEPTH for
+    every keypoint's triangulation LM — the two-view guess degenerates for
+    low-parallax or identity-swapped semantic tracks — and (b) a coarse
+    spatial gate: triangulated keypoints farther than ~3 object radii from
+    the bbox-implied center are label-flip/divergence garbage and are
+    excluded from the Kabsch fit.
     """
-    kps_w, kps_valid = triangulate_keypoints(cfg, zs, zs_mask, R_c2w, t_c_w)
+    center_prior = None
+    if zb is not None and shape_ellipsoid is not None:
+        first = jnp.argmax(zb_mask)
+        cTw_R = jnp.swapaxes(R_c2w[first], -1, -2)
+        wTq_lite, lite_ok = object_initialization_lite(
+            zb[first], cTw_R, t_c_w[first], shape_ellipsoid)
+        have = lite_ok & jnp.any(zb_mask)
+        center_prior = jnp.where(
+            have, wTq_lite[:3, 3], jnp.full((3,), jnp.nan, zs.dtype))
+    K = zs.shape[1]
+    p_init = (None if center_prior is None
+              else jnp.broadcast_to(center_prior, (K, 3)))
+    kps_w, kps_valid = triangulate_keypoints(cfg, zs, zs_mask, R_c2w, t_c_w,
+                                             p_init_world=p_init)
+    if center_prior is not None:
+        r_gate = 3.0 * jnp.max(jnp.linalg.norm(mean_shape, axis=-1))
+        near = jnp.linalg.norm(kps_w - center_prior, axis=1) < r_gate
+        kps_valid = kps_valid & jnp.where(
+            jnp.all(jnp.isfinite(center_prior)), near, True)
     enough = jnp.sum(kps_valid) > 3  # num_valid_pts_threshold (:82)
     if use_ransac:
         wTq, ok = kabsch_ransac(mean_shape, kps_w, kps_valid)

@@ -220,7 +220,8 @@ def finalize_object(
         init_ok = init_ok & jnp.any(zb_m)
     else:
         wTq, init_ok, kps_w, kps_valid = object_initialization(
-            cfg, zs, zs_m, R_c2w, t_c_w, kps_mean, use_ransac=use_ransac
+            cfg, zs, zs_m, R_c2w, t_c_w, kps_mean, use_ransac=use_ransac,
+            zb=zb, zb_mask=zb_m, shape_ellipsoid=shape_mean,
         )
         # orthonormalize the (scaled) Kabsch linear part for the manifold state
         U, _, Vt = jnp.linalg.svd(wTq[:3, :3])

@@ -161,6 +161,81 @@ def gauge_apply(cfg: FilterConfig, state: FilterState, g: Gauge) -> FilterState:
 
 
 # --------------------------------------------------------------------------
+# gauge-subspace covariance: basis, extraction, inflation
+# --------------------------------------------------------------------------
+
+def gauge_basis(cfg: FilterConfig, state: FilterState, anchor=None):
+    """B (D, 4): error-state directions of the gauge group at ``state``.
+
+    Column 0 = yaw generator (d state / d psi), columns 1:4 = world
+    translation. ``anchor``: point the yaw rotates about (None = world
+    origin). Anchoring at the current IMU position makes the yaw coordinate
+    independent of absolute position, so per-block gauge increments become
+    additive under the explicit lever-arm transport (_transport_gauge_cov) —
+    about the origin, the same yaw error loads differently onto the
+    yaw/translation split as the trajectory moves, and increments do not add.
+
+    Left perturbation: theta errors are world-frame, so the yaw column has
+    e_z in every theta block; right perturbation: theta errors are
+    body-frame, so it has R^T e_z. v entries are z x v in both conventions.
+    """
+    D = state.P.shape[0]
+    dtype = state.P.dtype
+    z = jnp.asarray([0.0, 0.0, 1.0], dtype)
+    a = jnp.zeros((3,), dtype) if anchor is None else anchor
+    left = _is_left(cfg)
+    B = jnp.zeros((D, 4), dtype)
+
+    def cross_z(v):
+        return jnp.cross(z, v)
+
+    th = z if left else state.imu.R.T @ z
+    B = B.at[0:3, 0].set(th)
+    B = B.at[3:6, 0].set(cross_z(state.imu.v))
+    B = B.at[6:9, 0].set(cross_z(state.imu.p - a))
+    B = B.at[6:9, 1:4].set(jnp.eye(3, dtype=dtype))
+    sw = cfg.sw_size
+    for k in range(sw):
+        i = LEG + 6 * k
+        thk = z if left else state.clones.R[k].T @ z
+        ok = state.clones.valid[k]
+        B = B.at[i : i + 3, 0].set(jnp.where(ok, thk, 0.0))
+        B = B.at[i + 3 : i + 6, 0].set(
+            jnp.where(ok, cross_z(state.clones.p[k] - a), 0.0))
+        B = B.at[i + 3 : i + 6, 1:4].set(
+            jnp.where(ok, jnp.eye(3, dtype=dtype), 0.0))
+    return B
+
+
+def gauge_covariance(cfg: FilterConfig, state: FilterState, anchor=None):
+    """(4, 4) covariance of the gauge coordinates: Sigma = B+ P B+^T."""
+    B = gauge_basis(cfg, state, anchor)
+    Bp = jnp.linalg.pinv(B)  # (4, D)
+    S = Bp @ state.P @ Bp.T
+    return 0.5 * (S + S.T)
+
+
+def inflate_gauge(cfg: FilterConfig, state: FilterState, Q4, anchor=None) -> FilterState:
+    """P <- P + B Q4 B^T: add gauge-subspace process covariance."""
+    B = gauge_basis(cfg, state, anchor)
+    P = state.P + B @ Q4 @ B.T
+    return state.replace(P=0.5 * (P + P.T))
+
+
+def _transport_gauge_cov(Q4, dpsi, lever):
+    """Transport a gauge covariance across a yaw move and an anchor change.
+
+    A yaw error about anchor a_j re-expressed about anchor a_K picks up a
+    translation dp' = dp + psi z x (a_K - a_j): T = [[1, 0], [z x da, Rz]].
+    """
+    R = _rz(dpsi).astype(Q4.dtype)
+    z = jnp.asarray([0.0, 0.0, 1.0], Q4.dtype)
+    T = jnp.zeros((4, 4), Q4.dtype).at[0, 0].set(1.0).at[1:, 1:].set(R)
+    T = T.at[1:, 0].set(jnp.cross(z, lever))
+    return T @ Q4 @ T.T
+
+
+# --------------------------------------------------------------------------
 # iteration-0 boundary guesses: per-block IMU preintegration, composed
 # --------------------------------------------------------------------------
 
@@ -313,12 +388,22 @@ def _stitch(cfg: FilterConfig, state0: FilterState, ends, old_starts):
 
 def seq_parallel_replay(cfg: FilterConfig, state0: FilterState,
                         frames: FrameInput, chi2_table, n_blocks: int,
-                        n_iters: int = 3, mesh=None, axis: str = "sp"):
+                        n_iters: int = 3, mesh=None, axis: str = "sp",
+                        gauge_cov_correction: bool = True):
     """Block-parallel replay of one trajectory.
 
     Returns (final end state, outs) with outs fields shaped (K*(T//K), ...),
     gauge-corrected so they are directly comparable to the serial replay.
     Requires ``cfg.ekf_feature_cap == 0`` (see module docstring).
+
+    ``gauge_cov_correction``: at ``n_iters < n_blocks`` the end state's
+    covariance has only traversed the last ``n_iters`` blocks, so it misses
+    the unobservable-gauge (yaw + translation) random walk the serial filter
+    accumulates over the earlier blocks — the observable subspace contracts
+    to the serial answer, the gauge subspace cannot. The correction measures
+    each block's own gauge-covariance increment from the final iteration's
+    runs and adds the missing blocks' sum back into P (exactly zero when
+    ``n_iters >= n_blocks``, preserving bit-exactness).
     """
     if cfg.ekf_feature_cap or cfg.nuisance_cap:
         raise ValueError(
@@ -352,10 +437,11 @@ def seq_parallel_replay(cfg: FilterConfig, state0: FilterState,
 
     starts = jax.jit(lambda s0, f: initial_starts(cfg, s0, f, K))(state0, frames)
     deltas = None
-    ends = outs = None
+    ends = outs = prev_starts = None
     for _ in range(n_iters):
+        prev_starts = starts
         ends, outs = blocks_fn(starts, fb)
-        starts, deltas = stitch_fn(state0, ends, starts)
+        starts, deltas = stitch_fn(state0, ends, prev_starts)
 
     # final outputs: per-block gauge corrections applied to trajectories and
     # the sequence-end state (block K-1's end corrected by its start delta)
@@ -379,6 +465,34 @@ def seq_parallel_replay(cfg: FilterConfig, state0: FilterState,
         return end, flat
 
     end, flat = finalize(ends, outs, deltas)
+
+    if gauge_cov_correction and n_iters < K:
+        @jax.jit
+        def correct(end, ends, prev_starts, deltas):
+            # per-block increments in POSITION-ANCHORED gauge coordinates:
+            # measure both ends of block j about the block-end position, then
+            # lever-transport each missing block's increment to the final
+            # anchor (yaw variance x lever loads onto translation)
+            def one(e, s):
+                a = e.imu.p
+                return (gauge_covariance(cfg, e, a)
+                        - gauge_covariance(cfg, s, a))
+
+            d_sig = jax.vmap(one)(ends, prev_starts)  # (K, 4, 4)
+            # PSD clip each increment (measurement updates can shrink the
+            # projected covariance transiently)
+            w, V = jnp.linalg.eigh(d_sig)
+            d_sig = jnp.einsum("kij,kj,klj->kil", V, jnp.maximum(w, 0.0), V)
+            a_end = end.imu.p
+            psi_end = deltas.psi[K - 1]
+            miss = jnp.arange(K) < (K - n_iters)
+            q = jax.vmap(
+                lambda Q, dpsi, a_j, m: jnp.where(
+                    m, _transport_gauge_cov(Q, dpsi, a_end - a_j), 0.0)
+            )(d_sig, psi_end - deltas.psi, ends.imu.p, miss)
+            return inflate_gauge(cfg, end, jnp.sum(q, axis=0), a_end)
+
+        end = correct(end, ends, prev_starts, deltas)
     extras = {
         k: getattr(outs, k).reshape((-1,) + getattr(outs, k).shape[2:])
         for k in ("t", "n_update_features", "dx_norm")

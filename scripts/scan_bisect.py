@@ -95,7 +95,7 @@ def main():
 
     # stub KLT
     orig = klt.forward_backward_track
-    stub = lambda p0, p1, xy, g, patch=15, iters=10: klt.KltResult(
+    stub = lambda p0, p1, xy, g, patch=15, iters=10, **kw: klt.KltResult(
         xy=g, ok=jnp.ones((xy.shape[0],), bool))
     klt.forward_backward_track = stub
     tracker.forward_backward_track = stub
@@ -105,8 +105,8 @@ def main():
     tracker.forward_backward_track = orig
 
     # fwd only
-    fwd = lambda p0, p1, xy, g, patch=15, iters=10: klt.pyr_track(
-        p0, p1, xy, g, patch, iters)
+    fwd = lambda p0, p1, xy, g, patch=15, iters=10, **kw: klt.pyr_track(
+        p0, p1, xy, g, patch, iters, **kw)
     klt.forward_backward_track = fwd
     tracker.forward_backward_track = fwd
     bench_scan("  fwd-only klt", tc)

@@ -92,11 +92,17 @@ def main():
                 jnp.maximum(heat, 0) - heat * tgt[..., 0]
                 + jnp.log1p(jnp.exp(-jnp.abs(heat)))
             )
-            # cvf + depth, supervised only at keypoint neighborhoods
-            l_reg = jnp.sum(msk * (o[..., 1:] - tgt[..., 1:]) ** 2) / (
-                jnp.maximum(jnp.sum(msk), 1.0) * 4
+            # cvf + depth, supervised only at keypoint neighborhoods. The cvf
+            # identity channels get their own (higher) weight: round 4
+            # measured the 0.3-weight checkpoint's part labels at chance
+            # level, which zeroed the whole CNN-in-the-loop object path.
+            l_cvf = jnp.sum(msk * (o[..., 1:4] - tgt[..., 1:4]) ** 2) / (
+                jnp.maximum(jnp.sum(msk), 1.0) * 3
             )
-            loss = loss + l_heat + 0.3 * l_reg
+            l_dep = jnp.sum(msk[..., 0] * (o[..., 4] - tgt[..., 4]) ** 2) / (
+                jnp.maximum(jnp.sum(msk), 1.0)
+            )
+            loss = loss + l_heat + 1.0 * l_cvf + 0.3 * l_dep
         return loss / len(outs), mut["batch_stats"]
 
     @jax.jit
@@ -125,16 +131,12 @@ def main():
     eval_rng = np.random.default_rng(99)
     im, tg, _ = make_training_batch(eval_rng, 32, SIZE)
     hits = tot = 0
-    cvf_err = []
+    lbl_hits = lbl_tot = 0
     canon = jnp.asarray(CAR_KEYPOINTS, jnp.float32)
     for b in range(32):
         det = detect_keypoints(params, batch_stats, model,
                                jnp.asarray(im[b], jnp.float32), canon)
         heat_t = tg[b, ..., 0]
-        py, px = np.unravel_index(np.argmax(heat_t), heat_t.shape)
-        for k in range(12):
-            if not bool(det["found"][k]):
-                continue
         # localization: every GT peak should have a detected peak within 2px
         gt_peaks = np.argwhere(heat_t > 0.95)
         det_xy = np.asarray(det["kp_xy"])[np.asarray(det["found"])]
@@ -143,7 +145,27 @@ def main():
             if len(det_xy) and np.min(np.hypot(det_xy[:, 0] - gx,
                                                det_xy[:, 1] - gy)) <= 2.0:
                 hits += 1
+        # identity: peaks near a GT keypoint must carry its cvf label
+        pk = np.asarray(det["peaks_xy"])
+        pv = np.asarray(det["peaks_valid"])
+        pcvf = np.asarray(det["peaks_cvf"])
+        gt_cvf = tg[b, ..., 1:4]
+        for p in range(len(pk)):
+            if not pv[p]:
+                continue
+            gx, gy = int(round(pk[p, 0])), int(round(pk[p, 1]))
+            if heat_t[min(gy, heat_t.shape[0] - 1), min(gx, heat_t.shape[1] - 1)] < 0.7:
+                continue
+            true_lbl = np.argmin(np.linalg.norm(
+                gt_cvf[min(gy, heat_t.shape[0] - 1), min(gx, heat_t.shape[1] - 1)][None]
+                - np.asarray(canon), axis=1))
+            pred_lbl = np.argmin(np.linalg.norm(
+                pcvf[p][None] - np.asarray(canon), axis=1))
+            lbl_tot += 1
+            lbl_hits += int(pred_lbl == true_lbl)
     print(f"eval: peak recall@2px = {hits}/{tot} = {hits/max(tot,1):.3f}")
+    print(f"eval: cvf label accuracy = {lbl_hits}/{lbl_tot} = "
+          f"{lbl_hits/max(lbl_tot,1):.3f}")
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     blob = flax.serialization.to_bytes(

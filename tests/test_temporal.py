@@ -120,3 +120,43 @@ class TestSeqParallel:
         bad = replace(cfg, ekf_feature_cap=8)
         with pytest.raises(ValueError):
             seq_parallel_replay(bad, st, frames, chi2, n_blocks=4)
+
+
+class TestGaugeCovarianceCorrection:
+    def test_gauge_covariance_calibrated(self, setup):
+        """At n_iters < K the end-state covariance misses the earlier blocks'
+        unobservable-gauge random walk; the measured per-block correction
+        restores it toward the serial filter's level (round-4 VERDICT #7).
+
+        A tight initial prior (1e-8) makes the accumulated gauge walk the
+        dominant term — with the default 1 m^2 position prior the walk is
+        invisible against the prior passthrough and the comparison is noise.
+        """
+        from orcvio_tpu.parallel.temporal import gauge_covariance
+
+        cfg, st, frames, chi2, _end_s, _outs_s = setup
+        st = st.replace(P=jnp.eye(st.P.shape[0], dtype=st.P.dtype) * 1e-8)
+        end_s, _ = jax.jit(lambda s, f: run_sequence(cfg, s, f, chi2))(st, frames)
+        anchor = end_s.imu.p
+        sig_serial = np.asarray(gauge_covariance(cfg, end_s, anchor))
+        d_s = np.diag(sig_serial)
+        for n_iters in (2, 3):
+            end_c, _ = seq_parallel_replay(cfg, st, frames, chi2, n_blocks=4,
+                                           n_iters=n_iters,
+                                           gauge_cov_correction=True)
+            end_u, _ = seq_parallel_replay(cfg, st, frames, chi2, n_blocks=4,
+                                           n_iters=n_iters,
+                                           gauge_cov_correction=False)
+            d_c = np.diag(np.asarray(gauge_covariance(cfg, end_c, anchor)))
+            d_u = np.diag(np.asarray(gauge_covariance(cfg, end_u, anchor)))
+            # the yaw + horizontal-translation walk (dims 0..2; vertical
+            # translation couples into observable pitch/roll and is excluded)
+            w = slice(0, 3)
+            assert np.all(d_u[w] <= d_s[w] * 1.05), (n_iters, d_u, d_s)
+            assert np.all(d_c[w] >= 0.35 * d_s[w]), (n_iters, d_c, d_s)
+            assert np.all(d_c[w] <= 2.5 * d_s[w]), (n_iters, d_c, d_s)
+            # the correction is a calibrated bound, not an equality: the
+            # gauge subspace has no invariant 4-dim coordinate (the yaw /
+            # translation split rotates with the trajectory), so measured
+            # increments land within a band of the serial value rather than
+            # on it (measured: yaw 1.4-1.6x over, translation 0.5-1.0x)
