@@ -36,9 +36,12 @@ from .objects import match_and_mean_iou, yaw_of_pose
 
 def run_cnn_object_mapping(quick: bool = False, debug: bool = False,
                            use_object_update: bool = True,
-                           sigma_obj: float = 0.015,
-                           min_frames: int = 10):
-    n_frames = 80 if quick else 140
+                           sigma_obj: float = 0.05,
+                           min_frames: int = 10,
+                           smooth_keypoints: bool = False):
+    # full mode covers one complete orbit (2*pi / (omega * dt) ~ 252 frames)
+    # so every ring car enters the FOV; quick is ~1/3 orbit (one car)
+    n_frames = 80 if quick else 260
     wc = WorldConfig(n_objects=3, n_frames=n_frames, ring_radius=6.5,
                      max_det=4, seed=11)
     objs = make_world(wc)
@@ -62,9 +65,12 @@ def run_cnn_object_mapping(quick: bool = False, debug: bool = False,
                         tri_translation_threshold=-1.0)
     ocfg = ObjectVioConfig(
         filter=fcfg, lm=ObjectLMConfig(iters=25),
+        # smoothing off by default: the retrained detector localizes at
+        # 3-5 px, where the constant-velocity KF's lag under orbital motion
+        # costs more than the noise it removes (round-4 triage)
         manager=ManagerConfig(capacity=8, window=45, n_kps=12,
                               pose_history=256, min_frames=min_frames,
-                              smooth_keypoints=True),
+                              smooth_keypoints=smooth_keypoints),
         sort=SortConfig(capacity=8, max_age=3, min_hits=2, iou_threshold=0.1),
         kps_mean=tuple(map(tuple, CAR_KEYPOINTS)),
         shape_mean=(0.80, 2.00, 0.70),

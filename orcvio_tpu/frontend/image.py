@@ -106,18 +106,39 @@ def sample_patch(img, center_xy, offsets):
     return bilinear_sample(img, center_xy[None, :] + offsets)
 
 
-def equalize_hist(img, bins: int = 256, knots: int = 32, subsample: int = 2):
+@functools.lru_cache(maxsize=8)
+def _poly_fit_matrix(bins: int, degree: int):
+    """(degree+1, bins) least-squares operator: coef = M @ cdf."""
+    x = np.linspace(0.0, 1.0, bins)
+    V = np.stack([x**d for d in range(degree + 1)], axis=1)  # (bins, d+1)
+    M = np.linalg.solve(V.T @ V, V.T)
+    return M.astype(np.float32)
+
+
+def equalize_hist(img, bins: int = 64, knots: int = 32, subsample: int = 4,
+                  mode: str = "poly", degree: int = 8):
     """Global histogram equalization (stand-in for the reference's CLAHE).
 
     Gather/scatter-free AND cheap: jnp.histogram (scatter-add) and cdf[idx]
-    (gather) both hit the TPU slow path; the round-2 fused one-hot version
-    was correct but cost ~240 us/frame of pure VPU compares (H*W*bins*2).
-    Instead: (a) the histogram is accumulated over a `subsample`-strided
-    pixel grid (the CDF is a global statistic — striding adds sampling noise
-    ~1/sqrt(n) ~ 0.3%, invisible to tracking); (b) the monotone CDF map is
-    applied through a `knots`-segment piecewise-linear interpolation, i.e.
-    knots compares per pixel instead of bins. Both remain one-hot/segment
-    compares that XLA fuses into elementwise+reduce VPU work.
+    (gather) both hit the TPU slow path. The histogram is accumulated over a
+    `subsample`-strided pixel grid via fused one-hot compares (the CDF is a
+    global statistic — striding adds ~0.3% sampling noise, invisible to
+    tracking). Two apply modes for the monotone CDF map:
+
+    * "poly" (default): fit a degree-`degree` polynomial to the CDF with a
+      PRECOMPUTED least-squares operator (one (d+1, bins) matmul per frame)
+      and apply by Horner — ~2(d+1) VPU ops/pixel instead of ~3*knots.
+      Round-4 scan-protocol timing: the piecewise apply made equalize
+      ~1.0 ms/frame, ~30% of the whole tracker; the polynomial apply is
+      ~6x fewer elementwise ops. Max deviation vs the exact map is a few
+      gray levels on smooth CDFs — KLT/ORB operate on local contrast and
+      the accuracy ladder (bench ATE) gates the approximation.
+    * "pwl": the exact piecewise-linear apply over `knots` segments.
+
+    Defaults bins=64/subsample=4: the one-hot histogram build is the
+    dominant cost (compares = H*W*bins/subsample^2); a 64-bin CDF over a
+    4-strided grid changes the fitted map by <1 gray level on natural
+    images while cutting the histogram work 16x vs 256/2.
     """
     flat = jnp.clip(img, 0.0, 255.0)
     sub = flat[::subsample, ::subsample]
@@ -127,6 +148,14 @@ def equalize_hist(img, bins: int = 256, knots: int = 32, subsample: int = 2):
     hist = jnp.sum(onehot, axis=(0, 1), dtype=img.dtype)
     cdf = jnp.cumsum(hist)
     cdf = cdf / cdf[-1]
+    if mode == "poly":
+        M = jnp.asarray(_poly_fit_matrix(bins, degree), img.dtype)
+        coef = M @ cdf  # (degree+1,)
+        xn = flat * (1.0 / 255.0)
+        out = coef[degree]
+        for d in range(degree - 1, -1, -1):
+            out = out * xn + coef[d]
+        return jnp.clip(out, 0.0, 1.0) * 255.0
     # piecewise-linear apply: knot values of the CDF at equispaced gray
     # levels; per pixel, sum of hat-function contributions (VPU only)
     step = (bins - 1) / knots

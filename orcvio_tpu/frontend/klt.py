@@ -26,6 +26,7 @@ residual gates) matches the reference's semantics.
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -35,6 +36,13 @@ import numpy as np
 from ..ops.window_gather import (
     AlignedImage, _use_matmul_impl, crop_lanes, gather_windows, prepare_image,
 )
+
+
+def _use_pallas_lk() -> bool:
+    forced = os.environ.get("ORCVIO_KLT_IMPL", "")
+    if forced:
+        return forced == "pallas"
+    return jax.default_backend() == "tpu"
 
 SEARCH_WD = 36       # logical search-window span (patch 15 + 2*9 radius + 2)
 ROWS, LANES = 48, 128  # physical (cropped) per-feature window
@@ -199,6 +207,46 @@ def _lk_iterate(lw: LevelWindows, tmpl, p_init, patch: int, iters: int,
     return p, res, conv
 
 
+def _lk_iterate_pallas(lw: LevelWindows, tmpl, p_init, patch: int, iters: int,
+                       interpret: bool = False):
+    """Fused-kernel realization of _lk_iterate (ops/lk_pallas.py): all
+    iterations of the level run inside ONE Pallas op. Exact-f32 resampling
+    (tighter than the hi/lo-bf16 XLA path); identical clamp/convergence
+    contract — pinned by tests/test_lk_pallas.py."""
+    from ..ops.lk_pallas import AUX_W, lk_iterate_fused
+
+    t, tgx, tgy, a11, a12, a22, det = tmpl
+    r = (patch - 1) // 2
+    dtype = p_init.dtype
+    N = p_init.shape[0]
+    det_ok = det > 1e-6
+    det_safe = jnp.where(det_ok, det, 1.0)
+    lo = lw.start - lw.origin + r
+    hi = lo + (SEARCH_WD - 2 * r - 1.001)
+    p0l = p_init - lw.origin
+    aux = jnp.zeros((N, AUX_W), dtype)
+    aux = aux.at[:, 0].set(a11).at[:, 1].set(a12).at[:, 2].set(a22)
+    aux = aux.at[:, 3].set(det_safe)
+    aux = aux.at[:, 4].set(lo[:, 0]).at[:, 5].set(lo[:, 1])
+    aux = aux.at[:, 6].set(hi[:, 0]).at[:, 7].set(hi[:, 1])
+    aux = aux.at[:, 10].set(p0l[:, 0]).at[:, 11].set(p0l[:, 1])
+    out = lk_iterate_fused(lw.win, t, tgx, tgy, aux, iters, patch, SEARCH_WD,
+                           interpret=interpret)
+    lxy = out[:, :2]
+    res = out[:, 2]
+    dnorm = out[:, 3]
+    p = lw.origin + lxy
+    interior = ((lxy > lo + 1e-3) & (lxy < hi - 1e-3)).all(axis=1)
+    conv = det_ok & (dnorm < 1.0) & interior
+    return p, res, conv
+
+
+def _lk_dispatch(lw, tmpl, p_init, patch, iters, precision):
+    if _use_pallas_lk():
+        return _lk_iterate_pallas(lw, tmpl, p_init, patch, iters)
+    return _lk_iterate(lw, tmpl, p_init, patch, iters, precision)
+
+
 def track_level(img0, img1, xy0, xy1_init, patch: int, iters: int, eps: float,
                 search_radius: int = 9, precision: str = "f32x2"):
     """One pyramid level of LK for all features (compat wrapper over the
@@ -229,7 +277,7 @@ def _pyr_track_prepared(ais0, ais1, xy0, xy1_guess, patch, iters, precision,
         lw0 = gather_level(ais0[lv], p0_lv, precision)
         lw1 = gather_level(ais1[lv], p1, precision)
         tmpl = _template(lw0, p0_lv, patch, precision)
-        p1, res, conv = _lk_iterate(lw1, tmpl, p1, patch, iters, precision)
+        p1, res, conv = _lk_dispatch(lw1, tmpl, p1, patch, iters, precision)
         if lv == 0:
             lw0_l0, lw1_l0 = lw0, lw1
     H, W = ais0[0].shape
@@ -241,7 +289,7 @@ def _pyr_track_prepared(ais0, ais1, xy0, xy1_guess, patch, iters, precision,
     # the img1 window at the forward result, iterate over the img0 window
     # starting at xy0 (flow magnitude <= search radius by construction)
     tmpl_b = _template(lw1_l0, p1, patch, precision)
-    q, _res_b, conv_b = _lk_iterate(lw0_l0, tmpl_b, xy0, patch, iters, precision)
+    q, _res_b, conv_b = _lk_dispatch(lw0_l0, tmpl_b, xy0, patch, iters, precision)
     fb = jnp.linalg.norm(q - xy0, axis=1)
     return KltResult(xy=p1, ok=fwd_ok & conv_b), fb
 

@@ -132,7 +132,22 @@ def extract_peaks(heatmap, max_peaks: int, thresh: float = HEAT_THRESH):
     yy = idx // W
     xx = idx % W
     valid = jnp.isfinite(top)
-    return jnp.stack([xx, yy], axis=1).astype(jnp.float32), jnp.where(valid, top, 0.0), valid
+    xy = jnp.stack([xx, yy], axis=1).astype(jnp.float32)
+    # subpixel refinement: weighted centroid of the local 5x5 patch (a cell
+    # is 4 input pixels; the integer argmax alone carries a half-cell bias)
+    o = jnp.arange(-2, 3)
+    oyy, oxx = jnp.meshgrid(o, o, indexing="ij")
+    offs = jnp.stack([oxx.reshape(-1), oyy.reshape(-1)], axis=1)  # (25, 2)
+
+    def refine(p):
+        px = jnp.clip(p[0].astype(jnp.int32) + offs[:, 0], 0, W - 1)
+        py = jnp.clip(p[1].astype(jnp.int32) + offs[:, 1], 0, H - 1)
+        w = jnp.maximum(heatmap[py, px] - thresh * 0.5, 0.0)
+        wsum = jnp.maximum(jnp.sum(w), 1e-6)
+        return p + jnp.sum(w[:, None] * offs, axis=0) / wsum
+
+    xy = jax.vmap(refine)(xy)
+    return xy, jnp.where(valid, top, 0.0), valid
 
 
 def cov_from_heatmap(heatmap, xy, radius: int = 4):

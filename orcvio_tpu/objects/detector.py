@@ -39,8 +39,16 @@ class StarMapKeypointDetector:
         self.n_kps = int(np.asarray(canonical).shape[0])
         self.canonical_np = np.asarray(canonical, np.float64)
         self.geometric_labels = geometric_labels
+        self.yaw_bins = yaw_bins
         self._proj_templates = (
             self._build_yaw_templates(yaw_bins) if geometric_labels else None)
+        # per-box temporal memory: (bbox, winning template index) of the
+        # previous frame, matched by IoU — the per-frame template match is
+        # mirror-ambiguous with few peaks, while true yaw moves < 1 bin per
+        # frame, so a temporal prior disambiguates (labels then stay
+        # consistent along a track, which triangulation requires)
+        self._prev_boxes: np.ndarray = np.zeros((0, 4))
+        self._prev_tmpl: np.ndarray = np.zeros((0,), np.int64)
         canon = jnp.asarray(canonical, dtype)
         size = self.size
 
@@ -77,10 +85,11 @@ class StarMapKeypointDetector:
         f = S * d / 6.0
         Kc = (f, f, S / 2, S / 2)
         rng = np.random.default_rng(0)
-        temps, vises = [], []
+        temps, vises, yaws = [], [], []
         ctr = kps.mean(axis=0)
         for el in elevations:
-            for g in np.linspace(0, 2 * np.pi, yaw_bins, endpoint=False):
+            for yi, g in enumerate(np.linspace(0, 2 * np.pi, yaw_bins,
+                                               endpoint=False)):
                 cam = ctr + np.array([d * np.cos(el) * np.cos(g),
                                       d * np.cos(el) * np.sin(g),
                                       d * np.sin(el)])
@@ -94,10 +103,12 @@ class StarMapKeypointDetector:
                 span = np.maximum(uv[vis].max(axis=0) - lo, 1e-6)
                 temps.append((uv - lo) / span)
                 vises.append(vis)
-        return np.asarray(temps), np.asarray(vises)  # (V, K, 2), (V, K)
+                yaws.append(yi)
+        # (V, K, 2), (V, K), (V,) yaw-bin index of each template
+        return np.asarray(temps), np.asarray(vises), np.asarray(yaws)
 
     def _assign_geometric(self, peaks_xy, peaks_valid, peaks_cvf, peaks_score,
-                          bbox_hm):
+                          bbox_hm, prior_tmpl: int = -1):
         """Joint label assignment: best (yaw, elevation) template by greedy
         2D matching in bbox-normalized coordinates; cvf breaks ties.
 
@@ -123,9 +134,15 @@ class StarMapKeypointDetector:
             peaks_cvf[:, None, :] - self.canonical_np[None, :, :], axis=-1)
         cvf_cost = 0.12 * cvf_d / max(1.0, np.max(np.linalg.norm(
             self.canonical_np, axis=1)))
-        best = (None, np.inf)
-        templates, t_vis = self._proj_templates
-        for tmpl, tv in zip(templates, t_vis):
+        best = (None, np.inf, -1)
+        templates, t_vis, t_yaw = self._proj_templates
+        nb = self.yaw_bins
+        if prior_tmpl >= 0:
+            dy = np.abs(t_yaw - t_yaw[prior_tmpl])
+            yaw_pen = 0.012 * np.minimum(dy, nb - dy).astype(np.float64)
+        else:
+            yaw_pen = np.zeros(len(templates))
+        for ti, (tmpl, tv) in enumerate(zip(templates, t_vis)):
             d2 = np.linalg.norm(pn[:, None, :] - tmpl[None, :, :], axis=-1)
             cost = d2 + cvf_cost
             cost[~v] = np.inf
@@ -146,14 +163,14 @@ class StarMapKeypointDetector:
                 c[:, ki] = np.inf
             if matched < 3:
                 continue
-            score = total / matched - 0.08 * matched
+            score = total / matched - 0.08 * matched + yaw_pen[ti]
             if score < best[1]:
-                best = (assign, score)
+                best = (assign, score, ti)
         if best[0] is None:
             return None
         assign = best[0]
         found = assign >= 0
-        return np.where(found, assign, 0), found
+        return np.where(found, assign, 0), found, best[2]
 
     def __call__(self, img: np.ndarray, boxes_px: np.ndarray, valid):
         """img (H, W) float [0,255] or [0,1]; boxes_px (M, 4) pixel bboxes.
@@ -169,6 +186,8 @@ class StarMapKeypointDetector:
         kps = np.zeros((M, self.n_kps, 2), np.float32)
         mask = np.zeros((M, self.n_kps), bool)
         fx, fy, cx, cy = self.K_cam
+        new_boxes: list = []
+        new_tmpl: list = []
         for m in range(M):
             if not bool(valid[m]):
                 continue
@@ -196,14 +215,24 @@ class StarMapKeypointDetector:
                                     (y0 - y0i) / sy_ / 4.0,
                                     (x1 - x0i) / sx_ / 4.0,
                                     (y1 - y0i) / sy_ / 4.0])
+                prior = -1
+                if len(self._prev_boxes):
+                    iou = _bbox_iou_np(np.asarray([x0, y0, x1, y1], np.float64),
+                                       self._prev_boxes)
+                    j = int(np.argmax(iou))
+                    if iou[j] > 0.3:
+                        prior = int(self._prev_tmpl[j])
                 res = self._assign_geometric(
                     np.asarray(det["peaks_xy"], np.float64),
                     np.asarray(det["peaks_valid"]),
                     np.asarray(det["peaks_cvf"], np.float64),
-                    np.asarray(det["peaks_score"], np.float64), bbox_hm)
+                    np.asarray(det["peaks_score"], np.float64), bbox_hm,
+                    prior_tmpl=prior)
                 if res is not None:
-                    assign, found = res
+                    assign, found, tmpl_i = res
                     uv_heat = np.asarray(det["peaks_xy"], np.float64)[assign]
+                    new_boxes.append([x0, y0, x1, y1])
+                    new_tmpl.append(tmpl_i)
             # heatmap -> crop -> image pixels
             sx = (x1i - x0i) / self.size
             sy = (y1i - y0i) / self.size
@@ -214,4 +243,19 @@ class StarMapKeypointDetector:
                 self.dist_model, self.dist_coeffs))
             kps[m] = uvn
             mask[m] = found
+        self._prev_boxes = np.asarray(new_boxes, np.float64).reshape(-1, 4)
+        self._prev_tmpl = np.asarray(new_tmpl, np.int64)
         return kps, mask
+
+
+def _bbox_iou_np(box, boxes):
+    """IoU of one box (4,) vs (N, 4), xmin ymin xmax ymax."""
+    ix0 = np.maximum(box[0], boxes[:, 0])
+    iy0 = np.maximum(box[1], boxes[:, 1])
+    ix1 = np.minimum(box[2], boxes[:, 2])
+    iy1 = np.minimum(box[3], boxes[:, 3])
+    inter = np.maximum(ix1 - ix0, 0) * np.maximum(iy1 - iy0, 0)
+    a = np.maximum(box[2] - box[0], 0) * np.maximum(box[3] - box[1], 0)
+    b = np.maximum(boxes[:, 2] - boxes[:, 0], 0) * np.maximum(
+        boxes[:, 3] - boxes[:, 1], 0)
+    return inter / np.maximum(a + b - inter, 1e-9)

@@ -24,7 +24,8 @@ from ..math import se3
 
 
 def triangulate_keypoints(cfg: FilterConfig, zs, zs_mask, R_c2w, t_c_w,
-                          p_init_world=None):
+                          p_init_world=None, trim: bool = True,
+                          trim_floor: float = 0.02):
     """Triangulate each semantic keypoint across frames.
 
     zs: (T, K, 2) normalized measurements; zs_mask: (T, K); camera poses
@@ -50,8 +51,52 @@ def triangulate_keypoints(cfg: FilterConfig, zs, zs_mask, R_c2w, t_c_w,
         mask=mask_c,
         n_obs=jnp.sum(mask_c, axis=1).astype(jnp.int32),
     )
-    tri = triangulate(cfg, ct, R_c2w, t_c_w, p_init_world=p_init_world)
-    return tri.p_world, tri.valid & (ct.n_obs >= 2)
+    def _med_res(p_world):
+        Rg_ = R_c2w[jnp.clip(ct.slot, 0, R_c2w.shape[0] - 1)]
+        tg_ = t_c_w[jnp.clip(ct.slot, 0, t_c_w.shape[0] - 1)]
+        pc_ = jnp.einsum("ktji,ktj->kti", Rg_, p_world[:, None] - tg_)
+        zh = pc_[..., :2] / jnp.maximum(pc_[..., 2:3], 1e-3)
+        rr = jnp.linalg.norm(zh - ct.uv, axis=-1)
+        return jnp.nanmedian(jnp.where(ct.mask, rr, jnp.nan), axis=1)
+
+    tri = triangulate(cfg, ct, R_c2w, t_c_w)
+    valid = tri.valid & (ct.n_obs >= 2)
+    if p_init_world is not None:
+        # the bbox-lite depth prior rescues degenerate two-view inits but can
+        # also steer good tracks into worse minima: solve BOTH ways and keep,
+        # per keypoint, the solution that is valid with the lower median
+        # reprojection residual (prior is advisory, never authoritative)
+        tri_p = triangulate(cfg, ct, R_c2w, t_c_w, p_init_world=p_init_world)
+        valid_p = tri_p.valid & (ct.n_obs >= 2)
+        m0 = jnp.where(valid, _med_res(tri.p_world), jnp.inf)
+        m1 = jnp.where(valid_p, _med_res(tri_p.p_world), jnp.inf)
+        take_p = m1 < m0
+        tri = tri._replace(
+            p_world=jnp.where(take_p[:, None], tri_p.p_world, tri.p_world))
+        valid = valid | valid_p
+    if not trim:
+        return tri.p_world, valid
+
+    # second pass with residual trimming: semantic-keypoint tracks carry
+    # identity-swap outliers (CNN label flips) far beyond what the Huber
+    # IRLS inside the LM can absorb; drop observations whose reprojection
+    # residual exceeds max(3 x per-track median, trim_floor) and re-solve.
+    Rg = R_c2w[jnp.clip(ct.slot, 0, R_c2w.shape[0] - 1)]  # (K, T, 3, 3)
+    tg = t_c_w[jnp.clip(ct.slot, 0, t_c_w.shape[0] - 1)]
+    pc = jnp.einsum("ktji,ktj->kti", Rg, tri.p_world[:, None] - tg)
+    z_hat = pc[..., :2] / jnp.maximum(pc[..., 2:3], 1e-3)
+    res = jnp.linalg.norm(z_hat - ct.uv, axis=-1)  # (K, T)
+    res_m = jnp.where(ct.mask, res, jnp.nan)
+    med = jnp.nanmedian(res_m, axis=1)
+    thr = jnp.maximum(3.0 * med, trim_floor)[:, None]
+    keep = ct.mask & (res < thr)
+    ct2 = ct._replace(mask=keep, n_obs=jnp.sum(keep, axis=1).astype(jnp.int32))
+    tri2 = triangulate(cfg, ct2, R_c2w, t_c_w, p_init_world=tri.p_world)
+    valid2 = tri2.valid & (ct2.n_obs >= 2)
+    # fall back to pass-1 where trimming removed too much
+    use2 = valid2 & (ct2.n_obs >= jnp.maximum(2, ct.n_obs // 2))
+    p_out = jnp.where(use2[:, None], tri2.p_world, tri.p_world)
+    return p_out, jnp.where(use2, valid2, valid)
 
 
 def kabsch_umeyama(src, dst, mask):
@@ -64,10 +109,16 @@ def kabsch_umeyama(src, dst, mask):
     """
     m = mask[..., None].astype(src.dtype)
     n = jnp.maximum(jnp.sum(mask, axis=-1), 1)[..., None]
-    # consecutive-distance scale over valid points: use masked consecutive pairs
-    pair_ok = (mask[..., 1:] & mask[..., :-1])[..., None]
-    d_in = jnp.sum(jnp.linalg.norm((src[..., 1:, :] - src[..., :-1, :]) * pair_ok, axis=-1), axis=-1)
-    d_out = jnp.sum(jnp.linalg.norm((dst[..., 1:, :] - dst[..., :-1, :]) * pair_ok, axis=-1), axis=-1)
+    # pairwise-distance scale over ALL valid pairs (the reference's
+    # consecutive-pair heuristic, findTransform :280, degenerates to 0/0
+    # when the valid set is a scattered subset — e.g. a RANSAC inlier set)
+    pair_ok = (mask[..., :, None] & mask[..., None, :])[..., None]
+    d_in = jnp.sum(jnp.linalg.norm(
+        (src[..., :, None, :] - src[..., None, :, :]) * pair_ok, axis=-1),
+        axis=(-1, -2))
+    d_out = jnp.sum(jnp.linalg.norm(
+        (dst[..., :, None, :] - dst[..., None, :, :]) * pair_ok, axis=-1),
+        axis=(-1, -2))
     scale = d_out / jnp.maximum(d_in, 1e-9)
     dst_s = dst / scale[..., None, None]
 
@@ -91,13 +142,18 @@ def _combos(n, k=3):
     return np.asarray(list(itertools.combinations(range(n), k)), np.int32)
 
 
-def kabsch_ransac(mean_shape, world_kps, valid, inlier_threshold=20.0):
+def kabsch_ransac(mean_shape, world_kps, valid, inlier_threshold=1.5,
+                  min_inliers=3):
     """RANSAC Kabsch over all C(K, 3) triples. Ref: ObjectFeatureInitializer.cpp:120-240.
 
     mean_shape/world_kps: (K, 3); valid: (K,). Returns (wTq (4, 4), ok).
-    Hypotheses containing an invalid keypoint are discarded by masking. The
-    reference's inlier distance threshold is 20 m (:211) — effectively "all
-    valid points" unless triangulation exploded; mirrored here.
+    Hypotheses containing an invalid keypoint are discarded by masking.
+
+    Deliberate deviation: the reference's inlier distance threshold is 20 m
+    (:211) — effectively "all valid points". Our CNN path produces
+    identity-swapped keypoint tracks that triangulate to self-consistent
+    but METERS-wrong points; an object-scale threshold (~half a car length)
+    lets the triple consensus reject them, which no global gate can.
     """
     K = mean_shape.shape[0]
     combos = jnp.asarray(_combos(K))  # (C, 3)
@@ -109,10 +165,14 @@ def kabsch_ransac(mean_shape, world_kps, valid, inlier_threshold=20.0):
     pred = jnp.einsum("cij,kj->cki", T_h[:, :3, :3], mean_shape) + T_h[:, None, :3, 3]
     dist = jnp.linalg.norm(pred - world_kps[None], axis=-1)
     inl = (dist < inlier_threshold) & valid[None, :]
-    scores = jnp.where(hyp_ok, jnp.sum(inl, axis=1), -1)
+    # rank by inlier count, tie-broken by mean inlier distance
+    mean_d = jnp.sum(jnp.where(inl, dist, 0.0), axis=1) / jnp.maximum(
+        jnp.sum(inl, axis=1), 1)
+    scores = jnp.where(hyp_ok, jnp.sum(inl, axis=1) - mean_d / inlier_threshold,
+                       -jnp.inf)
     best = jnp.argmax(scores)
     best_inl = inl[best] & valid
-    ok = scores[best] > 3  # max_num_inliers_threshold = 3 (:134)
+    ok = jnp.sum(best_inl) >= min_inliers
     # re-fit on the best inlier set
     wTq = kabsch_umeyama(mean_shape, world_kps, best_inl)
     return wTq, ok
@@ -151,11 +211,10 @@ def object_initialization(
               else jnp.broadcast_to(center_prior, (K, 3)))
     kps_w, kps_valid = triangulate_keypoints(cfg, zs, zs_mask, R_c2w, t_c_w,
                                              p_init_world=p_init)
-    if center_prior is not None:
-        r_gate = 3.0 * jnp.max(jnp.linalg.norm(mean_shape, axis=-1))
-        near = jnp.linalg.norm(kps_w - center_prior, axis=1) < r_gate
-        kps_valid = kps_valid & jnp.where(
-            jnp.all(jnp.isfinite(center_prior)), near, True)
+    # outlier handling is delegated to the object-scale RANSAC consensus
+    # below (kabsch_ransac inlier_threshold): identity-swapped tracks
+    # triangulate to self-consistent clusters meters from the object that
+    # defeat any single global spatial gate
     enough = jnp.sum(kps_valid) > 3  # num_valid_pts_threshold (:82)
     if use_ransac:
         wTq, ok = kabsch_ransac(mean_shape, kps_w, kps_valid)

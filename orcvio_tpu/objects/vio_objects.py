@@ -136,9 +136,19 @@ class ObjectVio:
         darknet -> StarMap -> ObjectInitNode chain — then the normal step().
         detector: StarMapKeypointDetector (carries the camera intrinsics).
         """
+        # drop truncated / tiny boxes: a car clipped at the image border
+        # yields keypoints with ~80 px median error (round-4 measurement) —
+        # the reference's detector chain likewise suppresses truncated
+        # detections before StarMap (darknet confidence + bbox filtering)
+        Hh, Ww = np.asarray(img).shape
+        b0 = np.asarray(det_boxes_px, np.float64)
+        interior = ((b0[:, 0] > 4) & (b0[:, 1] > 4)
+                    & (b0[:, 2] < Ww - 5) & (b0[:, 3] < Hh - 5)
+                    & (b0[:, 2] - b0[:, 0] > 24) & (b0[:, 3] - b0[:, 1] > 12))
+        det_valid = np.asarray(det_valid) & interior
         det_kps, det_kps_mask = detector(img, det_boxes_px, det_valid)
         fx, fy, cx, cy = detector.K_cam
-        b = np.asarray(det_boxes_px, np.float64)
+        b = b0
         boxes_norm = np.stack([(b[:, 0] - cx) / fx, (b[:, 1] - cy) / fy,
                                (b[:, 2] - cx) / fx, (b[:, 3] - cy) / fy], axis=1)
         return self.step(frame, boxes_norm, det_classes, det_kps,

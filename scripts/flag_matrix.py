@@ -34,10 +34,11 @@ VARIANTS = {
 SEQS = ["S1_slow", "S2_nominal", "S3_fast", "S4_noisy"]
 
 
-def run_cell(variant: str, seq: str, frames: int) -> dict:
+def run_cell(variant: str, seq: str, frames: int, backend: str = "cpu") -> dict:
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/orcvio_jax_cache")
 
     import bench
@@ -68,11 +69,30 @@ def main():
     ap.add_argument("--workers", type=int, default=3)
     ap.add_argument("--cell", nargs=2, metavar=("VARIANT", "SEQ"),
                     help="run one cell (internal)")
+    ap.add_argument("--backend", default="cpu", choices=["cpu", "tpu"],
+                    help="backend for OUR replay (the reference always runs "
+                    "native on CPU); tpu reuses one compile per variant")
     ap.add_argument("--out", default=os.path.join(REPO, "PARITY.md"))
     args = ap.parse_args()
 
     if args.cell:
-        print(json.dumps(run_cell(args.cell[0], args.cell[1], args.frames)))
+        print(json.dumps(run_cell(args.cell[0], args.cell[1], args.frames,
+                                  args.backend)))
+        return
+
+    if args.backend == "tpu":
+        # sequential in-process: one compile per variant, reused across the
+        # 4 sequences (the chip is a single shared resource anyway)
+        results = {}
+        os.makedirs("/tmp/flag_matrix", exist_ok=True)
+        for v in VARIANTS:
+            for s_ in SEQS:
+                try:
+                    results[(v, s_)] = run_cell(v, s_, args.frames, "tpu")
+                except Exception as e:  # noqa: BLE001
+                    results[(v, s_)] = dict(variant=v, seq=s_, error=str(e)[:300])
+                print(f"done {v}/{s_}: {results[(v, s_)]}", flush=True)
+        _write(results, args)
         return
 
     jobs = [(v, s) for v in VARIANTS for s in SEQS]
@@ -104,6 +124,10 @@ def main():
                 print(f"done {v}/{s}: {results[(v, s)]}", flush=True)
         time.sleep(3)
 
+    _write(results, args)
+
+
+def _write(results, args):
     json.dump({f"{v}|{s}": r for (v, s), r in results.items()},
               open("/tmp/flag_matrix/all.json", "w"), indent=1)
 
