@@ -136,16 +136,15 @@ class ObjectVio:
         darknet -> StarMap -> ObjectInitNode chain — then the normal step().
         detector: StarMapKeypointDetector (carries the camera intrinsics).
         """
-        # drop truncated / tiny boxes: a car clipped at the image border
-        # yields keypoints with ~80 px median error (round-4 measurement) —
-        # the reference's detector chain likewise suppresses truncated
-        # detections before StarMap (darknet confidence + bbox filtering)
+        # drop tiny boxes (too few pixels for keypoints); truncated boxes at
+        # the border are kept — their ~80 px-error keypoints (round-4
+        # measurement) are now absorbed by the trimmed re-triangulation +
+        # object-scale RANSAC consensus, and dropping them costs whole
+        # objects whose visibility window is short
         Hh, Ww = np.asarray(img).shape
         b0 = np.asarray(det_boxes_px, np.float64)
-        interior = ((b0[:, 0] > 4) & (b0[:, 1] > 4)
-                    & (b0[:, 2] < Ww - 5) & (b0[:, 3] < Hh - 5)
-                    & (b0[:, 2] - b0[:, 0] > 24) & (b0[:, 3] - b0[:, 1] > 12))
-        det_valid = np.asarray(det_valid) & interior
+        big_enough = ((b0[:, 2] - b0[:, 0] > 16) & (b0[:, 3] - b0[:, 1] > 9))
+        det_valid = np.asarray(det_valid) & big_enough
         det_kps, det_kps_mask = detector(img, det_boxes_px, det_valid)
         fx, fy, cx, cy = detector.K_cam
         b = b0

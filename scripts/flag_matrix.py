@@ -44,9 +44,20 @@ def run_cell(variant: str, seq: str, frames: int, backend: str = "cpu") -> dict:
     import bench
     from orcvio_tpu.dataio.euroc_writer import write_reference_config
     from orcvio_tpu.dataio.synthetic import SimConfig
-    from scripts.parity_table import SEQS as SEQ_DEFS, ensure_seq
+    from scripts.parity_table import SEQS as SEQ_DEFS
 
-    root = ensure_seq(seq, SEQ_DEFS[seq], frames)
+    root = f"/tmp/orcvio_parity_{seq}"
+    if not os.path.exists(os.path.join(root, f".complete_{frames}")):
+        # generate in a subprocess: ensure_seq pins the CPU platform
+        # process-wide, which would silently demote a TPU-backend run
+        r = subprocess.run(
+            [sys.executable, "-c",
+             f"import sys; sys.path.insert(0, {REPO!r}); "
+             f"from scripts.parity_table import ensure_seq; "
+             f"ensure_seq({seq!r}, {SEQ_DEFS[seq]!r}, {frames})"],
+            capture_output=True, text=True, timeout=1800, cwd=REPO)
+        if r.returncode != 0:
+            raise RuntimeError(f"seq gen failed: {r.stderr[-500:]}")
     cfg = os.path.join(root, f"config_{variant}.yaml")
     sim = SimConfig(n_frames=frames, frame_hz=20.0, imu_hz=200.0,
                     static_time=3.0, ramp_time=1.5, height=4.0,

@@ -49,134 +49,11 @@ def run_config_a(quick: bool):
 
 def run_config_b(quick: bool):
     """CNN-in-the-loop: composite renders -> StarMap -> pipeline."""
-    from orcvio_tpu.dataio.render_object import CAR_KEYPOINTS, render_car
-    from orcvio_tpu.dataio.synthetic import SimConfig, generate, trajectory_pose
-    from orcvio_tpu.config.core import FilterConfig
-    from orcvio_tpu.eval.object_map_sim import (
-        WorldConfig, analytic_detections, make_world)
-    from orcvio_tpu.eval.objects import match_and_mean_iou, yaw_of_pose
-    from orcvio_tpu.filter.state import FilterState
-    from orcvio_tpu.math import se3
-    from orcvio_tpu.objects.detector import StarMapKeypointDetector
-    from orcvio_tpu.objects.lm import ObjectLMConfig
-    from orcvio_tpu.objects.manager import ManagerConfig
-    from orcvio_tpu.objects.sort import SortConfig
-    from orcvio_tpu.objects.vio_objects import ObjectVio, ObjectVioConfig
+    from orcvio_tpu.eval.object_map_cnn import run_cnn_object_mapping
 
-    n_frames = 80 if quick else 140
-    wc = WorldConfig(n_objects=3, n_frames=n_frames, ring_radius=6.5,
-                     max_det=4, seed=11)
-    objs = make_world(wc)
-    H = W = 240
-    f = 220.0
-    K = (f, f, W / 2, H / 2)
-    rng = np.random.default_rng(5)
-
-    sim = SimConfig(n_frames=n_frames, n_landmarks=400, max_obs=50,
-                    uv_noise=wc.uv_noise, seed=wc.seed, radius=3.0, omega=0.5)
-    R_b2c = jnp.asarray([[0.0, -1.0, 0.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]],
-                        jnp.float64)
-    t_c_b = jnp.asarray([0.05, 0.02, 0.0], jnp.float64)
-    data = generate(sim, R_b2c=R_b2c, t_c_b=t_c_b)
-    gt_R = np.asarray(data.gt_R)
-    gt_p = np.asarray(data.gt_p)
-
-    fcfg = FilterConfig(sw_size=10, max_features=80, max_track_len=6,
-                        imu_slab=sim.imu_slab, observation_noise=0.004,
-                        object_observation_noise=0.015,
-                        tri_translation_threshold=-1.0)
-    ocfg = ObjectVioConfig(
-        filter=fcfg, lm=ObjectLMConfig(iters=25),
-        manager=ManagerConfig(capacity=8, window=45, n_kps=12,
-                              pose_history=256, min_frames=10,
-                              smooth_keypoints=True),
-        sort=SortConfig(capacity=8, max_age=3, min_hits=2, iou_threshold=0.1),
-        kps_mean=tuple(map(tuple, CAR_KEYPOINTS)),
-        shape_mean=(0.80, 2.00, 0.70),
-        use_object_residual_update=True,
-    )
-    ov = ObjectVio(ocfg, max_obs=sim.max_obs, dtype=jnp.float64)
-    detector = StarMapKeypointDetector(CAR_KEYPOINTS, K)
-
-    from orcvio_tpu.dataio.synthetic import trajectory_pose as tp
-    st = FilterState.create(fcfg, jnp.float64)
-    R0, p0 = tp(sim, jnp.asarray(0.0))
-    v0 = jax.jacobian(lambda t: tp(sim, t)[1])(jnp.asarray(0.0))
-    imu = st.imu.replace(R=R0, p=p0, v=v0)
-    d = np.asarray(fcfg.initial_cov_diag())
-    d[:15] = 1e-6
-    st = st.replace(imu=imu, imu_fej_now=imu, imu_old=imu, R_b2c=R_b2c,
-                    t_c_b=t_c_b, P=jnp.asarray(np.diag(d)),
-                    initialized=jnp.ones((), bool))
-    ov.set_filter_state(st)
-
-    def render_frame(wTc):
-        """Composite all visible cars into one image; return img + px boxes."""
-        cTw = np.asarray(se3.inverse_pose(jnp.asarray(wTc)))
-        img = np.full((max(H, W), max(H, W)), 0.35, np.float32)
-        boxes = []
-        order = []
-        for i, ob in enumerate(objs):
-            pc = cTw[:3, :3] @ ob["t"] + cTw[:3, 3]
-            if not (wc.min_depth < pc[2] < wc.max_depth):
-                continue
-            if abs(pc[0] / pc[2]) > 0.55 or abs(pc[1] / pc[2]) > 0.55:
-                continue
-            order.append((pc[2], i))
-        for _, i in sorted(order, reverse=True):  # far -> near painter
-            ob = objs[i]
-            Ro, to = ob["wTo"][:3, :3], ob["wTo"][:3, 3]
-            R_w2c_o = cTw[:3, :3] @ Ro
-            cam_o = Ro.T @ (np.asarray(wTc)[:3, 3] - to)
-            r = render_car(R_w2c_o, cam_o, K, max(H, W), background=img,
-                           rng=rng)
-            img = np.asarray(r.image)
-            vis = r.kp_visible
-            if vis.sum() >= 4:
-                uv = r.kp_uv[vis]
-                x0, y0 = uv[:, 0].min() - 3, uv[:, 1].min() - 3
-                x1, y1 = uv[:, 0].max() + 3, uv[:, 1].max() + 3
-                if x1 < W + 10 and y1 < H + 10:
-                    boxes.append([x0, y0, min(x1, W - 1), min(y1, H - 1)])
-        return img[:H, :W], np.asarray(boxes, np.float64).reshape(-1, 4)
-
-    t0 = time.time()
-    for k in range(n_frames):
-        fr = jax.tree.map(lambda x: x[k], data.frames)
-        Rc2w = gt_R[k] @ np.asarray(R_b2c).T
-        tcw = gt_p[k] + gt_R[k] @ np.asarray(t_c_b)
-        wTc = np.eye(4)
-        wTc[:3, :3] = Rc2w
-        wTc[:3, 3] = tcw
-        img, boxes = render_frame(wTc)
-        M = 4
-        bx = np.zeros((M, 4))
-        valid = np.zeros(M, bool)
-        nb = min(len(boxes), M)
-        bx[:nb] = boxes[:nb]
-        valid[:nb] = True
-        ov.step_image(fr, img * 255.0, bx, np.zeros(M, np.int32), valid,
-                      detector)
-    last = jax.tree.map(lambda x: x[n_frames - 1], data.frames)
-    for _ in range(ocfg.sort.max_age + 2):
-        ov.step_image(last, np.full((H, W), 90.0), np.zeros((4, 4)),
-                      np.zeros(4, np.int32), np.zeros(4, bool), detector)
-    dt = time.time() - t0
-
-    est_list = [
-        dict(t=np.asarray(o["wTo"])[:3, 3],
-             yaw=yaw_of_pose(np.asarray(o["wTo"])),
-             shape=(2 * o["shape"][2], 2 * o["shape"][1], 2 * o["shape"][0]))
-        for o in ov.object_map.values()
-    ]
-    gt_list = [
-        dict(t=o["t"], yaw=yaw_of_pose(o["wTo"]),
-             shape=(2 * o["shape"][2], 2 * o["shape"][1], 2 * o["shape"][0]))
-        for o in objs
-    ]
-    mean_iou, n_matched, pairs = match_and_mean_iou(est_list, gt_list)
-    return dict(mean_iou=mean_iou, n_matched=n_matched, n_est=len(est_list),
-                n_gt=len(gt_list), seconds=dt)
+    r = run_cnn_object_mapping(quick=quick)
+    return {k: r[k] for k in
+            ("mean_iou", "n_matched", "n_est", "n_gt", "seconds")}
 
 
 def main():
@@ -232,6 +109,14 @@ IoU (BEV rotated-rect x min height) over matches with IoU > 0.2
 | VIO ATE, object EKF update ON | {r_on['ate_m']:.4f} m |
 | VIO ATE, object EKF update OFF | {r_off['ate_m']:.4f} m |
 
+The object-residual update IMPROVES the trajectory (round-3 shipped a 4.4x
+regression; round-4 triage attributed it to the object rows inheriting the
+corner-feature noise sigma and calibrated `object_observation_noise` by
+sweep — scripts/object_update_triage.py; pinned by
+tests/test_objects_regression.py). The map is de-duplicated by 3D-center
+association of re-finalized tracks (`merge_duplicates`), so 12 GT cars give
+12 entries (round 3: 34).
+
 Per-pair IoU: {', '.join(f"{p[0]:.2f}" for p in r_on['pairs'])}
 
 Precision table (fraction of matched pairs within thresholds,
@@ -244,8 +129,12 @@ Object map persisted in the reference's text format
 ## B. CNN-in-the-loop (rendered images -> StarMap keypoints)
 
 Raw composite renders of {b['n_gt']} cars -> pixel bboxes -> StarMap
-keypoint CNN (shipped checkpoint) -> same pipeline
-(`ObjectVio.step_image`, the darknet->StarMap->ObjectInitNode chain):
+keypoint CNN (retrained round 4: cvf identity head 9% -> 95% label accuracy,
+subpixel peaks, far-car augmentation) -> same pipeline
+(`ObjectVio.step_image`, the darknet->StarMap->ObjectInitNode chain), over
+one full orbit. Robustified init for CNN label-flip outliers: trimmed
+re-triangulation, object-scale Kabsch-RANSAC consensus, advisory bbox-depth
+prior (round 3: 0 objects estimated):
 
 | metric | value |
 |---|---|
