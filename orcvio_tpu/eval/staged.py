@@ -70,7 +70,7 @@ def make_e2e_replay(cfg: FilterConfig, tc: TrackerConfig, R_b2c, t_c_b,
         )
         vs, fout = vio_step(cfg, vs, frame, chi2)
         return (ts, vs), {"p": fout.p, "R": fout.R, "v": fout.v,
-                          "n_upd": fout.n_update_features}
+                          "n_upd": fout.n_update_features, "zupt": fout.zupt}
 
     def replay(tracker_state: TrackerState, vio_state: VioState, staged: StagedInputs):
         # pin the camera-imu extrinsics into the filter state here so callers

@@ -57,6 +57,7 @@ class FrameOutput(NamedTuple):
     v: jnp.ndarray  # (3,)
     n_update_features: jnp.ndarray
     dx_norm: jnp.ndarray
+    zupt: jnp.ndarray = False  # ZUPT fired this frame
 
 
 def build_chi2_table(cfg: FilterConfig, dtype=jnp.float32):
@@ -313,6 +314,7 @@ def _filter_step(cfg: FilterConfig, state: FilterState, frame: FrameInput, chi2_
         v=state.imu.v,
         n_update_features=jnp.sum(use).astype(jnp.int32),
         dx_norm=jnp.linalg.norm(dx),
+        zupt=do_zupt,
     )
     return state, out
 

@@ -9,9 +9,12 @@ op: windows live in VMEM, each iteration is two batched (MXU) one-hot
 contractions + VPU lerps/solves, and the only HLO-level cost is one kernel
 launch.
 
-Numerics: f32 one-hot contractions with preferred_element_type=f32 (Mosaic
-lowers f32 matmuls through multi-pass MXU — exact f32, i.e. *tighter* than
-the XLA path's hi/lo-bf16 split). Contract mirrors klt._lk_iterate.
+Numerics: the one-hot contractions REQUIRE precision=HIGHEST — Mosaic's
+default f32 dot lowers to single-pass bf16 MXU, which rounds the selected
+pixels to ~0.5 gray and (measured) degrades S1_slow 900-frame ATE from
+0.039 to 0.785 m; with HIGHEST the kernel is exact f32 and ATE recovers
+(0.058, within run noise of the XLA hi/lo-bf16 path). Contract mirrors
+klt._lk_iterate.
 """
 from __future__ import annotations
 
@@ -44,14 +47,16 @@ def _resample_in_kernel(win, local_x, local_y, P, R, L):
     wy = (rows_k == iy.astype(jnp.int32)[:, :, None] + rows_p).astype(f32)
     rows16 = jax.lax.dot_general(
         wy, win, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=f32)  # (N, P+1, L)
+        preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST)  # (N, P+1, L)
     rows = rows16[:, :P] * (1 - fy) + rows16[:, 1:] * fy  # (N, P, L)
     cols_k = jax.lax.broadcasted_iota(jnp.int32, (N, P + 1, L), 2)
     cols_p = jax.lax.broadcasted_iota(jnp.int32, (N, P + 1, L), 1)
     wx = (cols_k == ix.astype(jnp.int32)[:, :, None] + cols_p).astype(f32)
     cols16 = jax.lax.dot_general(
         rows, wx, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=f32)  # (N, P, P+1)
+        preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST)  # (N, P, P+1)
     return cols16[:, :, :P] * (1 - fx) + cols16[:, :, 1:] * fx
 
 

@@ -59,6 +59,7 @@ def vio_step(cfg: FilterConfig, state: VioState, frame: FrameInput, chi2_table):
             t=frame.t, R=fs.imu.R, p=fs.imu.p, v=fs.imu.v,
             n_update_features=jnp.zeros((), jnp.int32),
             dx_norm=jnp.zeros((), st.filter.P.dtype),
+            zupt=jnp.zeros((), bool),
         )
         return st.replace(filter=fs, sinit=sinit), out
 
