@@ -74,9 +74,14 @@ class FilterConfig:
     tri_max_iters: int = 10
     tri_initial_damping: float = 1e-3
 
-    # stacked-update compression: "qr" (reference SPQR analogue) or
-    # "information" (Lambda = H^T H; all-MXU, no tall-skinny QR)
-    update_form: str = "qr"
+    # stacked-update form: "direct" (no compression; zero rows decouple in
+    # S = H P H^T + sigma^2 I so it equals the compressed update exactly,
+    # and the tall blocked-QR custom call disappears — measured 11.0 ->
+    # 10.0 ms/step at B=16, 1.27 -> 1.21 ms at B=1 on TPU v5e, identical
+    # trajectories), "qr" (reference SPQR analogue), "information"
+    # (Lambda = H^T H; exact but ill-conditioned at f32 with small sigma),
+    # or "chol" (Gram-Cholesky compression; NaN-prone on long f32 replays).
+    update_form: str = "direct"
 
     # object-residual update: transport the LM residual from its (stale)
     # linearization poses to the CURRENT clone estimates before the Kalman

@@ -397,5 +397,8 @@ def imu_batch_transition(cfg: FilterConfig, state: FilterState, imu_t, imu_gyro,
         step,
         (state, state.last_gyro, state.last_acc, eye, jnp.zeros((LEG, LEG), dtype), S0),
         (imu_t, imu_gyro, imu_acc, imu_mask),
+        # all-small-matrix body: while-loop iteration overhead dominates, so
+        # unroll the whole slab (measured in scripts/bisect_filter4.py)
+        unroll=True,
     )
     return state2, Phi_tot, Q_tot, (S_tot if calib else None), g_last, a_last

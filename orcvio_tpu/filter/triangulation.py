@@ -162,7 +162,8 @@ def triangulate(cfg: FilterConfig, ct: CompactTracks, R_c2w, t_c_w,
     h0, r0 = residuals(x0)
     cost0 = jnp.sum(r0 * r0, axis=(1, 2))
     (x, lam, cost, _, _), _ = jax.lax.scan(
-        lm_step, (x0, lam0, cost0, h0, r0), None, length=cfg.tri_max_iters
+        lm_step, (x0, lam0, cost0, h0, r0), None, length=cfg.tri_max_iters,
+        unroll=True,  # small fused body; loop sync overhead dominates
     )
 
     # --- validity checks (feature.hpp:688-720) ---

@@ -22,14 +22,13 @@ T = 64
 
 def bench(tag, cfg_kw, sim_kw, reps=3):
     import __graft_entry__ as ge
-    from orcvio_tpu.vio import VioState, vio_step
-    from orcvio_tpu.filter.pipeline import build_chi2_table
+    from orcvio_tpu.filter.pipeline import build_chi2_table, filter_step
 
     cfg, st, frames, chi2 = ge._build(cfg_kw, sim_kw, jnp.float32)
 
     def replay(state, fr):
         def step(s, f):
-            s2, out = vio_step(cfg, s, f, chi2)
+            s2, out = filter_step(cfg, s, f, chi2)
             return s2, out.p
         return jax.lax.scan(step, state, fr)
 
