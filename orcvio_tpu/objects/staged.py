@@ -153,12 +153,10 @@ def make_objects_replay(ocfg: ObjectVioConfig, max_obs: int, map_capacity: int =
 
         fin_mask, junk_mask = rows_to_finalize(mc, table, sout.lost_id)
         pending = (carry.pending | fin_mask) & (table.oid >= 0) & ~junk_mask
-        have = jnp.any(pending)
-        row = jnp.argmax(pending)
 
         def do_finalize(args):
             vio, table, poses, omap, pending = args
-            r = row
+            r = jnp.argmax(pending)
             fv = jnp.arange(mc.window) < table.n[r]
             # same TPU-f32 numerics policy as filter_step: the Kabsch SVD +
             # LM normal equations corrupt under default bf16 MXU passes
@@ -190,9 +188,13 @@ def make_objects_replay(ocfg: ObjectVioConfig, max_obs: int, map_capacity: int =
             table = free_rows(table, junk_mask)
             return vio, table, poses, omap, pending & ~junk_mask
 
-        vio, table, poses, omap, pending = jax.lax.cond(
-            have, do_finalize, no_finalize,
-            (vio, table, poses, carry.omap, pending))
+        # drain up to finalize_budget pending rows this frame (deaths are
+        # sparse; budget 1 matches the original one-per-frame behavior)
+        args = (vio, table, poses, carry.omap, pending)
+        for _ in range(max(1, getattr(ocfg, "finalize_budget", 1))):
+            have = jnp.any(args[4])
+            args = jax.lax.cond(have, do_finalize, no_finalize, args)
+        vio, table, poses, omap, pending = args
 
         carry = ObjectsCarry(vio=vio, sort=sort, table=table, poses=poses,
                              pending=pending, omap=omap)

@@ -54,6 +54,10 @@ class ObjectVioConfig(NamedTuple):
     # hygiene the reference lacks.)
     merge_duplicates: bool = False
     merge_distance: float = 2.0
+    # staged scan: max objects finalized per frame (objects/staged.py). One
+    # suffices for sparse deaths; dense scenes drain the pending mask faster
+    # with 2-3 at the cost of tracing the finalize body that many times.
+    finalize_budget: int = 1
 
 
 class ObjectVio:

@@ -27,6 +27,10 @@ pytestmark = pytest.mark.slow
 
 @pytest.fixture(scope="module")
 def staged_run():
+    return _staged_run(finalize_budget=1)
+
+
+def _staged_run(finalize_budget=1):
     dtype = jnp.float64
     wc = WorldConfig(n_frames=60)
     rng = np.random.default_rng(wc.seed + 1)
@@ -51,7 +55,8 @@ def staged_run():
                         iou_threshold=0.1),
         kps_mean=tuple(map(tuple, CAR_KEYPOINTS)),
         shape_mean=(0.80, 2.00, 0.70),
-        use_object_residual_update=True, merge_duplicates=True)
+        use_object_residual_update=True, merge_duplicates=True,
+        finalize_budget=finalize_budget)
 
     T, M = wc.n_frames, wc.max_det
     bx = np.zeros((T, M, 4))
@@ -102,6 +107,21 @@ class TestStagedObjects:
 
     def test_map_entries(self, staged_run):
         wc, objs, carry, _, _ = staged_run
+        mt = carry.omap
+        nv = int(np.asarray(mt.valid).sum())
+        assert 2 <= nv <= wc.n_objects, nv
+        centers = np.asarray(mt.wTo[:, :3, 3])[np.asarray(mt.valid)]
+        gtc = np.array([o["t"] for o in objs])
+        for c in centers:
+            assert float(np.min(np.linalg.norm(gtc - c, axis=1))) < 0.8
+
+    def test_finalize_budget_2(self):
+        """A 2-per-frame finalize budget must produce an equally valid map
+        (deaths drain faster; same association/merge semantics)."""
+        wc, objs, carry, outs, gt_p = _staged_run(finalize_budget=2)
+        est_p = np.asarray(outs["p"])
+        ate = float(np.sqrt(np.mean(np.sum((est_p - gt_p) ** 2, axis=1))))
+        assert ate < 0.06, ate
         mt = carry.omap
         nv = int(np.asarray(mt.valid).sum())
         assert 2 <= nv <= wc.n_objects, nv
