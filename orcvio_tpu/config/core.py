@@ -81,6 +81,9 @@ class FilterConfig:
     # trajectories), "qr" (reference SPQR analogue), "information"
     # (Lambda = H^T H; exact but ill-conditioned at f32 with small sigma),
     # or "chol" (Gram-Cholesky compression; NaN-prone on long f32 replays).
+    # Crossover note: "direct" factors S of size m = 2*max_update_features*
+    # max_track_len (384 at defaults) — O(m^3) — vs "qr"'s <= D-sized factor;
+    # prefer "qr" when m grows >> D (large windows / many update features).
     update_form: str = "direct"
 
     # object-residual update: transport the LM residual from its (stale)

@@ -211,9 +211,18 @@ def apply_ekf_update(cfg: FilterConfig, state: FilterState, H, r):
         # zero gain), so this equals the compressed update in exact
         # arithmetic while dropping the tall-QR custom call; the bigger
         # (m x m) Cholesky is one MXU-friendly blocked factorization.
+        # NB: S is (m x m) with m = 2*max_update_features*max_track_len, so
+        # cost grows O(m^3); measured faster than "qr" at default sizes
+        # (m<=384) but "qr" wins when m >> D (see config/core.py).
         H_thin, r_thin = H, r
-    else:
+    elif cfg.update_form in ("qr", "information"):
+        # ("information" + Schmidt lands here: the nuisance gain zeroing
+        # needs the explicit row form, so it runs the qr-compressed update.)
         H_thin, r_thin = linalg.qr_compress(H, r)
+    else:
+        raise ValueError(
+            f"unknown update_form {cfg.update_form!r}: expected one of "
+            "'direct', 'qr', 'information', 'chol'")
     S = H_thin @ state.P @ H_thin.T + sigma2 * jnp.eye(H_thin.shape[0], dtype=state.P.dtype)
     chol = jax.scipy.linalg.cho_factor(S, lower=True)
     K_T = jax.scipy.linalg.cho_solve(chol, H_thin @ state.P)

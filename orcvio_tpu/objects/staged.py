@@ -178,23 +178,31 @@ def make_objects_replay(ocfg: ObjectVioConfig, max_obs: int, map_capacity: int =
                 new_fs = jax.tree.map(
                     lambda a, b: jnp.where(ok_upd, a, b), new_fs, vio.filter)
                 vio = vio.replace(filter=new_fs)
-            kill = (jnp.arange(mc.capacity) == r) | junk_mask
+            kill = jnp.arange(mc.capacity) == r
             table = free_rows(table, kill)
             pending = pending & ~kill
             return vio, table, poses, omap, pending
 
-        def no_finalize(args):
-            vio, table, poses, omap, pending = args
-            table = free_rows(table, junk_mask)
-            return vio, table, poses, omap, pending & ~junk_mask
+        # junk rows are freed once per frame, unconditionally; then a
+        # while_loop drains up to finalize_budget pending rows (deaths are
+        # sparse; budget 1 matches the original one-per-frame behavior).
+        # The while_loop traces do_finalize's heavy body exactly once and
+        # executes only while something is actually pending.
+        table = free_rows(table, junk_mask)
+        pending = pending & ~junk_mask
+        budget = max(1, int(ocfg.finalize_budget))
 
-        # drain up to finalize_budget pending rows this frame (deaths are
-        # sparse; budget 1 matches the original one-per-frame behavior)
-        args = (vio, table, poses, carry.omap, pending)
-        for _ in range(max(1, getattr(ocfg, "finalize_budget", 1))):
-            have = jnp.any(args[4])
-            args = jax.lax.cond(have, do_finalize, no_finalize, args)
-        vio, table, poses, omap, pending = args
+        def w_cond(c):
+            i, args = c
+            return (i < budget) & jnp.any(args[4])
+
+        def w_body(c):
+            i, args = c
+            return i + 1, do_finalize(args)
+
+        _, (vio, table, poses, omap, pending) = jax.lax.while_loop(
+            w_cond, w_body,
+            (jnp.zeros((), jnp.int32), (vio, table, poses, carry.omap, pending)))
 
         carry = ObjectsCarry(vio=vio, sort=sort, table=table, poses=poses,
                              pending=pending, omap=omap)

@@ -69,11 +69,17 @@ def feature_parallel_update(cfg: FilterConfig, mesh: Mesh, axis: str = "fp"):
     n_dev = mesh.shape[axis]
 
     def local(state, ct, p_w, use):
-        fj = feature_jacobians(cfg, state, ct, p_w)
-        Lam, b = information_from_jacobians(fj, use)
-        Lam = jax.lax.psum(Lam, axis)
-        b = jax.lax.psum(b, axis)
-        new_state, dx = information_update(cfg, state, Lam, b)
+        # HIGHEST precision: the one-hot einsum Jacobian assembly and the
+        # Householder nullspace matvecs otherwise round through the TPU
+        # default bf16 single-pass dot — the covariance-corrupting failure
+        # mode documented in filter/pipeline.py (commit 505c719). The main
+        # filter path sets this in pipeline.py; this sharded path must too.
+        with jax.default_matmul_precision("highest"):
+            fj = feature_jacobians(cfg, state, ct, p_w)
+            Lam, b = information_from_jacobians(fj, use)
+            Lam = jax.lax.psum(Lam, axis)
+            b = jax.lax.psum(b, axis)
+            new_state, dx = information_update(cfg, state, Lam, b)
         return new_state, dx
 
     shard = NamedSharding(mesh, P(axis))
