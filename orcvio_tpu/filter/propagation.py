@@ -373,7 +373,150 @@ def imu_batch_transition(cfg: FilterConfig, state: FilterState, imu_t, imu_gyro,
 
     Exposed separately so tests can check the accumulated transition against
     autodiff of the whole-slab propagation. S_tot is None unless
-    cfg.calib_imu: S composes as S <- Phi_k S + S_k (intrinsics constant)."""
+    cfg.calib_imu: S composes as S <- Phi_k S + S_k (intrinsics constant).
+
+    Dispatch: without IMU intrinsics the slab runs through the batched
+    formulation (_imu_batch_transition_batched) — O(log S) sequential depth
+    instead of S unrolled per-sample bodies; with calib_imu the autodiff
+    sensitivity columns keep the per-sample scan."""
+    if not cfg.calib_imu:
+        return _imu_batch_transition_batched(cfg, state, imu_t, imu_gyro, imu_acc, imu_mask)
+    return _imu_batch_transition_scan(cfg, state, imu_t, imu_gyro, imu_acc, imu_mask)
+
+
+def _compose_transitions(Phi, Q):
+    """Fold per-sample (Phi_k, Q_k) into (Phi_tot, Q_tot) by pairwise tree
+    reduction: total = Phi_{S-1} ... Phi_0, Q composing as
+    Q <- Phi_b Q_a Phi_b^T + Q_b (a before b). log2(S) batched 22x22 matmul
+    levels instead of S sequential composes — the associativity the reference's
+    per-sample loop never exploits."""
+    n = Phi.shape[0]
+    while n > 1:
+        m = n // 2
+        Pa, Qa = Phi[0 : 2 * m : 2], Q[0 : 2 * m : 2]
+        Pb, Qb = Phi[1 : 2 * m : 2], Q[1 : 2 * m : 2]
+        Pc = Pb @ Pa
+        Qc = Pb @ Qa @ jnp.swapaxes(Pb, -1, -2) + Qb
+        if n % 2:
+            Pc = jnp.concatenate([Pc, Phi[-1:]], axis=0)
+            Qc = jnp.concatenate([Qc, Q[-1:]], axis=0)
+        Phi, Q = Pc, Qc
+        n = (n + 1) // 2
+    return Phi[0], Q[0]
+
+
+def _imu_batch_transition_batched(cfg: FilterConfig, state: FilterState,
+                                  imu_t, imu_gyro, imu_acc, imu_mask):
+    """Whole-slab propagation with batched per-sample math.
+
+    The only truly sequential dependencies in the slab are tiny: the
+    orientation chain R_k = R_0 exp(w_0 dt_0) ... exp(w_{k-1} dt_{k-1})
+    (a cumulative 3x3 product) and the v/p prefix sums. Everything else —
+    the Rodrigues exponentials, the per-sample Phi_k blocks, the noise
+    congruences — is data-parallel across the S samples and runs as ONE
+    batched op set, then folds with _compose_transitions. Identical algebra
+    to the per-sample scan (same Phi/Q formulas, reassociated products);
+    pinned against it in tests/test_propagation.py.
+    """
+    dtype = state.P.dtype
+    S = imu_t.shape[0]
+    g_w = gravity_vec(cfg, dtype)
+
+    # --- forward-fill masked samples (masked rows become exact dt=0 no-ops,
+    # and the next valid sample sees the last valid (gyro, acc) as its
+    # "old" pair — the same semantics the scan's carried g_old/a_old give)
+    idx = jnp.arange(S)
+    fill = jax.lax.cummax(jnp.where(imu_mask, idx, -1))
+    has = fill >= 0
+    fc = jnp.clip(fill, 0, S - 1)
+    t_eff = jnp.where(has, imu_t[fc], state.t)
+    g_eff = jnp.where(has[:, None], imu_gyro[fc], state.last_gyro)
+    a_eff = jnp.where(has[:, None], imu_acc[fc], state.last_acc)
+    t_prev = jnp.concatenate([state.t[None], t_eff[:-1]])
+    g_prev = jnp.concatenate([state.last_gyro[None], g_eff[:-1]])
+    a_prev = jnp.concatenate([state.last_acc[None], a_eff[:-1]])
+    dt = (t_eff - t_prev).astype(dtype)
+
+    gyro = g_eff - state.imu.bg
+    acc = a_eff - state.imu.ba
+    gyro_old = g_prev - state.imu.bg
+    acc_old = a_prev - state.imu.ba
+
+    # --- mean: cumulative rotation product, then v/p prefix sums
+    w_dt = dt[:, None] * gyro
+    exps = so3.exp(w_dt)  # (S, 3, 3)
+    cum = jax.lax.associative_scan(jnp.matmul, exps)  # exps[0] @ ... @ exps[k]
+    R_pre = jnp.concatenate([state.imu.R[None], state.imu.R @ cum[:-1]], axis=0)
+    R_post = state.imu.R @ cum
+
+    if cfg.use_larvio:
+        exps_h = so3.exp(0.5 * w_dt)
+        R_mid = jnp.einsum("sij,sjk->sik", R_pre, exps_h)
+        k1vd = jnp.einsum("sij,sj->si", R_pre, acc) + g_w
+        k2vd = jnp.einsum("sij,sj->si", R_mid, acc) + g_w  # = k3vd
+        k4vd = jnp.einsum("sij,sj->si", R_post, acc) + g_w
+        dv = dt[:, None] / 6.0 * (k1vd + 4.0 * k2vd + k4vd)
+        dp_extra = dt[:, None] ** 2 / 6.0 * (k1vd + 2.0 * k2vd)
+    else:
+        Jl_a = jnp.einsum("sij,sj->si", so3.left_jacobian(w_dt), acc)
+        Hl_a = jnp.einsum("sij,sj->si", so3.Hl(w_dt), acc)
+        dv = g_w * dt[:, None] + jnp.einsum("sij,sj->si", R_pre, Jl_a) * dt[:, None]
+        dp_extra = (g_w * (dt[:, None] ** 2) * 0.5
+                    + jnp.einsum("sij,sj->si", R_pre, Hl_a) * dt[:, None] ** 2)
+
+    v_cum = jnp.cumsum(dv, axis=0)
+    v_pre = state.imu.v + jnp.concatenate([jnp.zeros((1, 3), dtype), v_cum[:-1]], axis=0)
+    v_post = state.imu.v + v_cum
+    dp = dt[:, None] * v_pre + dp_extra
+    p_cum = jnp.cumsum(dp, axis=0)
+    p_pre = state.imu.p + jnp.concatenate([jnp.zeros((1, 3), dtype), p_cum[:-1]], axis=0)
+    p_post = state.imu.p + p_cum
+
+    # --- per-sample Phi_k, batched (identical formulas via vmap)
+    if cfg.use_larvio or cfg.use_closed_form_cov_prop:
+        if cfg.use_larvio or cfg.use_left_perturbation:
+            if cfg.if_fej:
+                # fej_old at sample 0 is the STORED fej; it tracks the
+                # propagated mean afterwards (fej_now = imu_new each sample)
+                v_k = v_pre.at[0].set(state.imu_fej_now.v)
+                p_k = p_pre.at[0].set(state.imu_fej_now.p)
+            else:
+                v_k, p_k = v_pre, p_pre
+            Phi = jax.vmap(phi_closed_form_left,
+                           in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, None))(
+                R_pre, dt, gyro, acc, gyro_old, v_k, p_k, v_post, p_post, g_w)
+        else:
+            Phi = jax.vmap(phi_closed_form_right)(R_pre, dt, gyro, acc)
+    else:
+        Phi = jax.vmap(phi_euler, in_axes=(0, 0, 0, 0, None))(
+            R_post, gyro, acc, dt, cfg.use_left_perturbation)
+
+    # --- per-sample Q_k, batched
+    G = jax.vmap(noise_input_matrix, in_axes=(0, None, None))(
+        R_pre, cfg.use_larvio or cfg.use_left_perturbation, dtype)
+    Qc = jnp.asarray(cfg.continuous_noise_cov(), dtype)
+    PhiG = Phi @ G
+    Q = PhiG @ Qc @ jnp.swapaxes(PhiG, -1, -2) * dt[:, None, None]
+
+    Phi_tot, Q_tot = _compose_transitions(Phi, Q)
+
+    imu_new = state.imu.replace(R=R_post[-1], v=v_post[-1], p=p_post[-1])
+    imu_old = state.imu.replace(R=R_pre[-1], v=v_pre[-1], p=p_pre[-1])
+    fej_old = state.imu_fej_now if S == 1 else imu_old
+    state2 = state.replace(
+        t=t_eff[-1].astype(state.t.dtype),
+        imu=imu_new,
+        imu_old=imu_old,
+        imu_fej_now=imu_new,
+        imu_fej_old=fej_old,
+    )
+    return state2, Phi_tot, Q_tot, None, g_eff[-1], a_eff[-1]
+
+
+def _imu_batch_transition_scan(cfg: FilterConfig, state: FilterState, imu_t, imu_gyro, imu_acc, imu_mask):
+    """Per-sample scan formulation (kept for calib_imu, whose sensitivity
+    columns S_k compose through the running state, and as the reference
+    semantics the batched path is tested against)."""
     dtype = state.P.dtype
     eye = jnp.eye(LEG, dtype=dtype)
     calib = cfg.calib_imu

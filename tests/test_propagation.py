@@ -223,3 +223,79 @@ class TestProcessAndBatch:
         fn = jax.jit(lambda s, t, g, a, m: prop.imu_batch(cfg, s, t, g, a, m))
         out = fn(st, jnp.linspace(0.005, 0.04, S), jnp.zeros((S, 3)), jnp.tile(jnp.asarray([0, 0, 9.81]), (S, 1)), jnp.ones(S, bool))
         assert float(out.t) == pytest.approx(0.04)
+
+
+class TestBatchedVsScan:
+    """The batched slab formulation (_imu_batch_transition_batched) must
+    reproduce the per-sample scan (_imu_batch_transition_scan) across every
+    propagation variant: same algebra, reassociated — differences are
+    roundoff only (f64 here, so ~1e-12)."""
+
+    CASES = [
+        pytest.param(dict(use_larvio=False, use_left_perturbation=True,
+                          use_closed_form_cov_prop=False), id="euler-left"),
+        pytest.param(dict(use_larvio=False, use_left_perturbation=False,
+                          use_closed_form_cov_prop=False), id="euler-right"),
+        pytest.param(dict(use_larvio=False, use_left_perturbation=True,
+                          use_closed_form_cov_prop=True), id="closed-left"),
+        pytest.param(dict(use_larvio=False, use_left_perturbation=False,
+                          use_closed_form_cov_prop=True), id="closed-right"),
+        pytest.param(dict(use_larvio=True, use_left_perturbation=True,
+                          use_closed_form_cov_prop=True), id="larvio"),
+        pytest.param(dict(use_larvio=True, use_left_perturbation=True,
+                          use_closed_form_cov_prop=True, if_fej=True), id="larvio-fej"),
+        pytest.param(dict(use_larvio=False, use_left_perturbation=True,
+                          use_closed_form_cov_prop=True, if_fej=True), id="closed-left-fej"),
+    ]
+
+    @pytest.mark.parametrize("kw", CASES)
+    @pytest.mark.parametrize("maskmode", ["all", "head", "holes", "none"])
+    def test_matches_scan(self, kw, maskmode):
+        cfg = FilterConfig(sw_size=4, max_features=8, **kw)
+        st = FilterState.create(cfg, dtype=jnp.float64)
+        imu = rand_imu_state()
+        # a distinct stored FEJ state exercises the sample-0 fej_old path
+        fej = ImuState(R=imu.R, v=imu.v + 0.01, p=imu.p + 0.02, bg=imu.bg, ba=imu.ba)
+        st = st.replace(imu=imu, imu_old=imu, imu_fej_now=fej, imu_fej_old=fej,
+                        t=jnp.asarray(0.0, jnp.float64),
+                        last_gyro=jnp.asarray(RNG.normal(size=3) * 0.1),
+                        last_acc=jnp.asarray([0, 0, 9.7]))
+        S = 9  # odd: exercises the leftover branch of the tree compose
+        imu_t = jnp.linspace(0.005, 0.045, S)
+        gyros = jnp.asarray(RNG.normal(size=(S, 3)) * 0.3)
+        accs = jnp.asarray([0, 0, 9.81]) + jnp.asarray(RNG.normal(size=(S, 3)) * 0.5)
+        mask = dict(
+            all=jnp.ones(S, bool),
+            head=jnp.arange(S) >= 3,
+            holes=jnp.asarray([1, 0, 1, 1, 0, 0, 1, 1, 0], bool),
+            none=jnp.zeros(S, bool),
+        )[maskmode]
+
+        out_b = prop._imu_batch_transition_batched(cfg, st, imu_t, gyros, accs, mask)
+        out_s = prop._imu_batch_transition_scan(cfg, st, imu_t, gyros, accs, mask)
+        st_b, Phi_b, Q_b, _, g_b, a_b = out_b
+        st_s, Phi_s, Q_s, _, g_s, a_s = out_s
+        assert jnp.allclose(Phi_b, Phi_s, atol=1e-11), float(jnp.abs(Phi_b - Phi_s).max())
+        assert jnp.allclose(Q_b, Q_s, atol=1e-14), float(jnp.abs(Q_b - Q_s).max())
+        for fld in ("R", "v", "p"):
+            assert jnp.allclose(getattr(st_b.imu, fld), getattr(st_s.imu, fld), atol=1e-11), fld
+            assert jnp.allclose(getattr(st_b.imu_old, fld), getattr(st_s.imu_old, fld), atol=1e-11), ("old", fld)
+            assert jnp.allclose(getattr(st_b.imu_fej_old, fld), getattr(st_s.imu_fej_old, fld), atol=1e-11), ("fejold", fld)
+        assert float(st_b.t) == pytest.approx(float(st_s.t), abs=0)
+        assert jnp.allclose(g_b, g_s) and jnp.allclose(a_b, a_s)
+
+    def test_single_sample_fej_old(self):
+        """S == 1: fej_old must be the STORED fej, not the mean."""
+        cfg = FilterConfig(sw_size=4, max_features=8, if_fej=True,
+                           use_closed_form_cov_prop=True)
+        st = FilterState.create(cfg, dtype=jnp.float64)
+        imu = rand_imu_state()
+        fej = ImuState(R=imu.R, v=imu.v + 0.5, p=imu.p + 0.7, bg=imu.bg, ba=imu.ba)
+        st = st.replace(imu=imu, imu_fej_now=fej, imu_fej_old=fej,
+                        t=jnp.asarray(0.0, jnp.float64))
+        args = (jnp.asarray([0.005]), jnp.asarray([[0.1, 0.2, -0.1]]),
+                jnp.asarray([[0.0, 0.1, 9.8]]), jnp.ones(1, bool))
+        st_b, *_ = prop._imu_batch_transition_batched(cfg, st, *args)
+        st_s, *_ = prop._imu_batch_transition_scan(cfg, st, *args)
+        assert jnp.allclose(st_b.imu_fej_old.v, fej.v)
+        assert jnp.allclose(st_b.imu_fej_old.v, st_s.imu_fej_old.v)
