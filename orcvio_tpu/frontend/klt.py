@@ -34,7 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.window_gather import (
-    AlignedImage, _use_matmul_impl, crop_lanes, gather_windows, prepare_image,
+    AlignedImage, _use_matmul_impl, crop_lanes, gather_impl, gather_windows,
+    prepare_image,
 )
 
 
@@ -135,13 +136,20 @@ def resample(chans, local, P: int, precision: str = "f32x2"):
 
 def gather_level(ai: AlignedImage, centers, precision: str = "f32x2") -> LevelWindows:
     """Gather + lane-compact the per-feature (ROWS, LANES) window around
-    floor(centers) - SEARCH_WD//2."""
+    floor(centers) - SEARCH_WD//2.
+
+    The "dma" gather impl keeps the full (ROWS, 2*LANES) window — the lane
+    crop exists only to halve the MATMUL paths' downstream width, while the
+    resample/kernel consumers handle any width; skipping it saves the
+    two-pass crop matmuls."""
     t0 = -(SEARCH_WD // 2)
     win, origin = gather_windows(ai, centers, t0, SEARCH_WD, ROWS, 2 * LANES)
     H, W = ai.shape
     cf = jnp.floor(centers)
     start = jnp.stack([jnp.clip(cf[:, 0], 0, W - 1) + t0,
                        jnp.clip(cf[:, 1], 0, H - 1) + t0], axis=1)
+    if gather_impl() == "dma":
+        return LevelWindows(win=win[0], origin=origin, start=start)
     lane_off = (start[:, 0] - origin[:, 0]).astype(jnp.int32)
     winc = crop_lanes(win[0], lane_off, LANES)
     origin = origin.at[:, 0].add(lane_off.astype(origin.dtype))
@@ -230,8 +238,11 @@ def _lk_iterate_pallas(lw: LevelWindows, tmpl, p_init, patch: int, iters: int,
     aux = aux.at[:, 4].set(lo[:, 0]).at[:, 5].set(lo[:, 1])
     aux = aux.at[:, 6].set(hi[:, 0]).at[:, 7].set(hi[:, 1])
     aux = aux.at[:, 10].set(p0l[:, 0]).at[:, 11].set(p0l[:, 1])
+    # wide (uncropped, 256-lane) windows double the per-feature VMEM; halve
+    # the block so the kernel stays under the scoped-vmem limit
+    block_n = 64 if lw.win.shape[-1] <= 128 else 32
     out = lk_iterate_fused(lw.win, t, tgx, tgy, aux, iters, patch, SEARCH_WD,
-                           interpret=interpret)
+                           block_n=block_n, interpret=interpret)
     lxy = out[:, :2]
     res = out[:, 2]
     dnorm = out[:, 3]
@@ -336,6 +347,9 @@ def extract_patches(img, centers, taps):
     rows = -(-(P + 1 + 7) // 8) * 8
     win, origin = gather_windows(ai, centers, int(taps[0]), P + 1,
                                  max(rows, 16), 2 * LANES)
+    if gather_impl() == "dma":
+        local = centers - origin + taps[0]
+        return resample(win, local, P, "f32x2")[0]
     lane_off = jnp.clip(
         (jnp.floor(centers[:, 0]) + int(taps[0]) - origin[:, 0]), 0, LANES - 1
     ).astype(jnp.int32)

@@ -30,8 +30,21 @@ from flax import struct
 BR, BL = 8, 128  # TPU f32 tile (sublane, lane)
 
 
-def _use_matmul_impl() -> bool:
+def gather_impl() -> str:
+    """Window-gather implementation: "dma" (TPU default — direct DMA copies,
+    ops/dma_gather.py), "matmul" (one-hot block-select matmuls, the round-3
+    design), or "slice" (vmapped dynamic_slice; CPU/tests)."""
     forced = os.environ.get("ORCVIO_GATHER_IMPL", "")
+    if forced:
+        return forced
+    return "dma" if jax.default_backend() == "tpu" else "slice"
+
+
+def _use_matmul_impl() -> bool:
+    """Whether SUBPIXEL selection (klt.resample) should use one-hot matmuls
+    (TPU) instead of per-feature dynamic slices (CPU). Independent of the
+    window-gather impl: the resample one-hots are small and batch fine."""
+    forced = os.environ.get("ORCVIO_RESAMPLE_IMPL", "")
     if forced:
         return forced == "matmul"
     return jax.default_backend() == "tpu"
@@ -59,7 +72,9 @@ def prepare_image(imgs, margin: int = 40, precision: str = "f32x2") -> AlignedIm
     p = jnp.pad(p, ((0, 0), (0, Hp - p.shape[1]), (0, Wp - p.shape[2])),
                 mode="edge")
     hb, wb = Hp // BR, Wp // BL
-    if not _use_matmul_impl():
+    if gather_impl() != "matmul":
+        # "dma" and "slice" both read the plain padded image — no hi/lo
+        # bf16 split, no block re-tiling (two fewer full-image passes/frame)
         return AlignedImage(None, None, p, hb, wb, margin, (H, W))
     blocks = (p.reshape(C, hb, BR, wb, BL)
                .transpose(0, 1, 3, 2, 4)
@@ -113,7 +128,18 @@ def gather_windows(ai: AlignedImage, centers, t0: int, wd: int,
     origin = jnp.stack([(c0 * BL - ai.pad).astype(dtype),
                         (r0 * BR - ai.pad).astype(dtype)], axis=1)
 
-    if ai.padded is not None:  # CPU impl: per-feature dynamic slices
+    if ai.padded is not None:
+        if gather_impl() == "dma":  # TPU: direct DMA copies (dma_gather.py)
+            from .dma_gather import gather_one
+
+            C = ai.padded.shape[-3]
+            out = jnp.stack([
+                gather_one(ai.padded[..., c, :, :], r0, c0,
+                           rows // BR, lanes // BL)
+                for c in range(C)
+            ], axis=0)  # (C, N, rows, lanes); vmap batches inside gather_one
+            return out.astype(dtype), origin
+        # CPU impl: per-feature dynamic slices
         def one(r, c):
             z = jnp.zeros((), r.dtype)
             return jax.lax.dynamic_slice(

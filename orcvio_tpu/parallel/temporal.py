@@ -420,9 +420,23 @@ def seq_parallel_replay(cfg: FilterConfig, state0: FilterState,
     ``n_iters >= n_blocks``, preserving bit-exactness).
     """
     if cfg.ekf_feature_cap or cfg.nuisance_cap:
+        # Permanent by design, not a missing feature: the stitch's
+        # convergence argument needs every boundary-state coordinate to be
+        # either (a) gauge-equivariant, or (b) locally observable so each
+        # block re-estimates it from its own data. EKF-SLAM feature blocks
+        # (and Schmidt nuisance clones) are neither: their P rows are keyed
+        # to table rows whose identity is block-local (a track alive at the
+        # b-1/b boundary occupies different rows — or no row — in block b's
+        # table), so the handed-over feature covariance refers to states the
+        # receiving block cannot re-associate, and the gauge composition has
+        # no action on them. MSCKF marginalizes features immediately, which
+        # is exactly what makes the boundary state gauge-decomposable.
         raise ValueError(
             "sequence-parallel mode requires an MSCKF configuration "
-            "(ekf_feature_cap=0, nuisance_cap=0)"
+            "(ekf_feature_cap=0, nuisance_cap=0): EKF-SLAM/Schmidt keep "
+            "per-feature covariance rows whose identity is block-local, so "
+            "they can be neither gauge-composed nor re-estimated across a "
+            "block boundary (see comment above)"
         )
     K = n_blocks
     fb = _block_frames(frames, K)

@@ -22,10 +22,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-
 import jax
 
+# NB: the environment exports JAX_PLATFORMS=axon (TPU tunnel) and overrides
+# the env var — pin CPU via config (this MC needs f64).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/orcvio_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -44,3 +44,22 @@ def _reseed_module_rng(request):
         seed = zlib.adler32(f"{mod.__name__}::{request.node.name}".encode())
         mod.RNG = np.random.default_rng(seed)
     yield
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled-executable state between test modules.
+
+    The fast suite deterministically segfaulted inside XLA:CPU's
+    backend_compile after ~130 tests in one process (round-4 VERDICT weak #2;
+    stack: test_objects_pipeline -> eager op -> backend_compile_and_load).
+    The trigger needs most of the preceding suite in-process — neither half
+    of the prefix reproduces it alone, and synthetic churn of 100k tiny or
+    300 large distinct executables survives — i.e. it is an accumulation
+    interaction inside XLA, not a single bad HLO. Dropping live executables
+    and tracing caches at module boundaries keeps the peak compiler state
+    bounded; with this fixture the suite completes in one invocation
+    (verified twice), at a small recompile cost for shared helpers.
+    """
+    yield
+    jax.clear_caches()
