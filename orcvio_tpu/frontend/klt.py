@@ -3,19 +3,25 @@
 TPU-native equivalent of the reference's cv::calcOpticalFlowPyrLK calls
 (image_processor.cpp:568,628 forward + reverse with 1px consistency).
 
-Design (round-3 rewrite — why no gathers anywhere):
- * XLA lowers batched gathers / vmapped dynamic_slice on TPU to a SEQUENTIAL
-   while loop over slices (profiled ~0.85 us/window: ~170 us per 200-feature
-   extraction, 16+ extractions per frame dominated the round-2 front end and
-   killed vmap batch scaling). All window reads now go through
-   ops/window_gather.gather_windows: a one-hot matmul over the image's
-   native (8, 128) tiles (~29 us per extraction, batches cleanly).
- * Subpixel bilinear resampling inside the gathered windows is factored into
-   EXACT pieces: one-hot integer row/column selections on the MXU (0/1
-   weights; pixels split hi+lo into two bfloat16 passes, error <= 2^-17 of
-   full scale) and the fractional lerp on the VPU in float32. A "bf16" mode
-   halves the matmuls at ~0.5-gray pixel rounding (A/B'd against the
-   accuracy ladder).
+Design (round-5 revision; see git history for the round-3 matmul-gather
+rationale this supersedes):
+ * Window reads: XLA lowers batched gathers / vmapped dynamic_slice on TPU
+   to a SEQUENTIAL while loop over slices (~170 us per 200-feature
+   extraction, round-2's wall). Round 3 replaced them with one-hot
+   block-select matmuls; round 5 replaces those with direct DMA copies
+   (ops/dma_gather.py, via gather_windows impl="dma"): exact f32, single
+   pass, zero MXU FLOPs — the matmul gathers' MXU work scaled with the
+   replay batch and capped batched serving.
+ * Each pyramid level runs as ONE Pallas kernel (ops/lk_pallas.py
+   lk_level_fused): template extraction (a single (P+2) patch resample of
+   the img0 window with in-patch central differences — equal to resampling
+   precomputed gradient arrays by linearity) + all LK iterations over the
+   img1 window. In-kernel subpixel selection contracts 0/1 bf16 one-hots
+   against an explicit hi/lo bf16 split of the pixels (exact to ~2^-8 gray,
+   two single-pass MXU dots — vs 6 passes for an f32 HIGHEST dot), with
+   both integer selections applied to raw pixels and the fractional 2-D
+   lerp last in f32. The XLA `resample` below remains as the CPU reference
+   path and for the ORB/detect patch reads.
  * The backward consistency pass shares the forward pass's windows and runs
    at level 0 only: the backward track starts from the forward result whose
    flow is within the level-0 search radius by construction, so a full
@@ -252,6 +258,49 @@ def _lk_iterate_pallas(lw: LevelWindows, tmpl, p_init, patch: int, iters: int,
     return p, res, conv
 
 
+def _lk_level_pallas(lw0: LevelWindows, lw1: LevelWindows, xy0, p_init,
+                     patch: int, iters: int, interpret: bool = False,
+                     eps: float = 0.01):
+    """Fully fused level: template (from lw0 at xy0) + all LK iterations
+    (over lw1 from p_init) in ONE Pallas op (ops/lk_pallas.lk_level_fused).
+    Replaces the XLA _template chain + the iterate kernel on the TPU path;
+    contract pinned against (_template + _lk_iterate) in
+    tests/test_lk_pallas.py::test_level_fused_parity."""
+    from ..ops.lk_pallas import AUX_W, lk_level_fused
+
+    dtype = p_init.dtype
+    N = p_init.shape[0]
+    r = (patch - 1) // 2
+    lo = lw1.start - lw1.origin + r
+    hi = lo + (SEARCH_WD - 2 * r - 1.001)
+    p0l = xy0 - lw0.origin
+    p1l = p_init - lw1.origin
+    aux = jnp.zeros((N, AUX_W), dtype)
+    aux = aux.at[:, 0].set(p0l[:, 0]).at[:, 1].set(p0l[:, 1])
+    aux = aux.at[:, 4].set(lo[:, 0]).at[:, 5].set(lo[:, 1])
+    aux = aux.at[:, 6].set(hi[:, 0]).at[:, 7].set(hi[:, 1])
+    aux = aux.at[:, 10].set(p1l[:, 0]).at[:, 11].set(p1l[:, 1])
+    block_n = 32 if lw1.win.shape[-1] <= 128 else 16
+    out = lk_level_fused(lw0.win, lw1.win, aux, iters, patch, SEARCH_WD,
+                         block_n=block_n, interpret=interpret, eps=eps)
+    lxy = out[:, :2]
+    res = out[:, 2]
+    dnorm = out[:, 3]
+    det = out[:, 4]
+    p = lw1.origin + lxy
+    interior = ((lxy > lo + 1e-3) & (lxy < hi - 1e-3)).all(axis=1)
+    conv = (det > 1e-6) & (dnorm < 1.0) & interior
+    return p, res, conv
+
+
+def _level_dispatch(lw0, lw1, xy0, p_init, patch, iters, precision):
+    """One level-pass: fused kernel on TPU, template+iterate elsewhere."""
+    if _use_pallas_lk():
+        return _lk_level_pallas(lw0, lw1, xy0, p_init, patch, iters)
+    tmpl = _template(lw0, xy0, patch, precision)
+    return _lk_iterate(lw1, tmpl, p_init, patch, iters, precision)
+
+
 def _lk_dispatch(lw, tmpl, p_init, patch, iters, precision):
     if _use_pallas_lk():
         return _lk_iterate_pallas(lw, tmpl, p_init, patch, iters)
@@ -287,8 +336,8 @@ def _pyr_track_prepared(ais0, ais1, xy0, xy1_guess, patch, iters, precision,
             p1 = p1 * 2.0
         lw0 = gather_level(ais0[lv], p0_lv, precision)
         lw1 = gather_level(ais1[lv], p1, precision)
-        tmpl = _template(lw0, p0_lv, patch, precision)
-        p1, res, conv = _lk_dispatch(lw1, tmpl, p1, patch, iters, precision)
+        p1, res, conv = _level_dispatch(lw0, lw1, p0_lv, p1, patch, iters,
+                                        precision)
         if lv == 0:
             lw0_l0, lw1_l0 = lw0, lw1
     H, W = ais0[0].shape
@@ -299,8 +348,8 @@ def _pyr_track_prepared(ais0, ais1, xy0, xy1_guess, patch, iters, precision,
     # backward pass at level 0, reusing the forward windows: template from
     # the img1 window at the forward result, iterate over the img0 window
     # starting at xy0 (flow magnitude <= search radius by construction)
-    tmpl_b = _template(lw1_l0, p1, patch, precision)
-    q, _res_b, conv_b = _lk_dispatch(lw0_l0, tmpl_b, xy0, patch, iters, precision)
+    q, _res_b, conv_b = _level_dispatch(lw1_l0, lw0_l0, p1, xy0, patch,
+                                        iters, precision)
     fb = jnp.linalg.norm(q - xy0, axis=1)
     return KltResult(xy=p1, ok=fwd_ok & conv_b), fb
 

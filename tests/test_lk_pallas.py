@@ -4,10 +4,10 @@ Pins the contract claimed in frontend/klt.py:215 (`_lk_iterate_pallas`):
  * interpret-mode parity with `_lk_iterate` on identical windows/templates
    (the kernel is exact f32; the CPU `_lk_iterate` resample is exact via
    dynamic slices, so the two must agree to float32 roundoff);
- * a precision regression guard: every dot inside the kernel must request
-   HIGHEST precision — Mosaic's default f32 dot lowers to single-pass bf16
-   on the MXU, which rounds selected pixels to ~0.5 gray and (measured,
-   commit 505c719) degraded S1_slow 900-frame ATE 0.039 -> 0.785 m;
+ * a precision regression guard: all in-kernel dots must go through the
+   exact hi/lo-split `_dot2` — a bare f32 dot would lower to single-pass
+   bf16 on the MXU, rounding selected pixels to ~0.5 gray (measured,
+   commit 505c719: S1_slow 900-frame ATE 0.039 -> 0.785 m);
  * the padding / block_n edge cases (N not a multiple of block_n, N < block_n).
 """
 import ast
@@ -128,24 +128,63 @@ def test_padding_block_edges(n):
     assert (conv_k == conv_ref).mean() > 0.9
 
 
-def test_kernel_dots_request_highest_precision():
-    """Regression guard for the Mosaic bf16 single-pass dot failure mode.
+def test_kernel_dots_are_exact():
+    """Regression guard for the Mosaic bf16 single-pass dot failure mode
+    (commit 505c719: an f32 dot lowered to ONE bf16 pass rounds selected
+    pixels to ~0.5 gray and degraded the 900-frame ATE 20x).
 
-    Every dot_general inside the kernel's resample must pass
-    precision=HIGHEST (commit 505c719: without it the one-hot pixel
-    selections round to ~0.5 gray on TPU and the 900-frame ATE degrades
-    20x). Checked statically on the kernel source so it holds for the
-    real-TPU lowering, which interpret-mode tests cannot exercise.
+    The kernel's selections are exact by construction: every in-kernel
+    dot_general must live inside `_dot2` — a 0/1 bf16 one-hot contracted
+    against an explicit hi/lo bf16 split of the pixels (two single-pass
+    dots whose f32 accumulation restores the pixel to ~2^-8 ulp). An f32
+    dot_general outside _dot2 would silently reintroduce the single-pass
+    rounding, so: statically require all dot_generals to be in _dot2, and
+    numerically require the split selection to reproduce f64 ground truth.
     """
     src = inspect.getsource(lk_pallas)
     tree = ast.parse(src)
-    dots = [node for node in ast.walk(tree)
-            if isinstance(node, ast.Call)
-            and isinstance(node.func, ast.Attribute)
-            and node.func.attr == "dot_general"]
-    assert dots, "expected dot_general calls in ops/lk_pallas.py"
-    for call in dots:
-        kw = {k.arg: k.value for k in call.keywords}
-        assert "precision" in kw, "dot_general without explicit precision"
-        prec = ast.dump(kw["precision"])
-        assert "HIGHEST" in prec, f"dot_general precision is not HIGHEST: {prec}"
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef):
+            dots = [c for c in ast.walk(node)
+                    if isinstance(c, ast.Call)
+                    and isinstance(c.func, ast.Attribute)
+                    and c.func.attr == "dot_general"]
+            if node.name == "_dot2":
+                assert len(dots) == 2
+            else:
+                assert not dots, (
+                    f"dot_general outside _dot2 in {node.name}: the exact "
+                    "hi/lo split contract would be bypassed")
+
+    # numeric: hi/lo-split one-hot selection reproduces the f64 answer
+    vals = np.asarray(RNG.uniform(0, 255.0, (1, 48, 128)), np.float32)
+    hi, lo = lk_pallas._split_hi_lo(jnp.asarray(vals))
+    onehot = np.zeros((1, 4, 48), np.float32)
+    idx = [3, 17, 30, 44]
+    for p, i in enumerate(idx):
+        onehot[0, p, i] = 1.0
+    sel = lk_pallas._dot2(jnp.asarray(onehot, jnp.bfloat16), hi, lo,
+                          (((2,), (1,)), ((0,), (0,))), jnp.float32)
+    truth = vals[0, idx]
+    assert np.abs(np.asarray(sel)[0] - truth).max() < 4e-3  # ~2^-8 gray
+
+
+def test_level_fused_parity():
+    """lk_level_fused (template+iterate, one kernel) vs _template +
+    _lk_iterate on identical windows (interpret mode): same positions,
+    convergence flags, and residuals. The in-kernel template takes central
+    differences INSIDE one (P+2) patch; by linearity of bilinear
+    interpolation that equals resampling precomputed gradient arrays except
+    at window borders the patch never touches, so agreement is to the
+    hi/lo split error (~2^-8 gray -> <<1e-2 px)."""
+    from orcvio_tpu.frontend.klt import _lk_level_pallas
+
+    lw0, lw1, xy0, shifts = _make_case(96, seed=11)
+    tmpl = _template(lw0, xy0, PATCH, "f32x2")
+    p_ref, res_ref, conv_ref = _lk_iterate(lw1, tmpl, xy0, PATCH, ITERS, "f32x2")
+    p_k, res_k, conv_k = _lk_level_pallas(lw0, lw1, xy0, xy0, PATCH, ITERS,
+                                          interpret=True, eps=0.0)
+    p_ref, p_k = np.asarray(p_ref), np.asarray(p_k)
+    assert np.abs(p_k - p_ref).max() < 1e-2, np.abs(p_k - p_ref).max()
+    assert np.abs(np.asarray(res_k) - np.asarray(res_ref)).max() < 0.1
+    assert (np.asarray(conv_k) == np.asarray(conv_ref)).mean() > 0.95
