@@ -28,6 +28,12 @@ import time
 
 import numpy as np
 
+# Persistent compilation cache: compiles go through the axon tunnel's remote
+# compiler (~minutes for the big e2e scan programs); cached executables make
+# bench reruns start in seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/orcvio_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
 BENCH_DIR = "/tmp/orcvio_bench_seq"
 BENCH_FRAMES_GEN = 3600   # full sequence length when generating fresh
 BENCH_FRAMES = 900        # frames measured (45 s of flight; init takes 3 s)
@@ -362,27 +368,65 @@ def measure_objects_e2e(n_frames: int = 300) -> dict:
             "objects_ate_m": round(ate, 4)}
 
 
-def measure_scaling_efficiency() -> dict:
-    """Weak-scaling efficiency via the 4-process jax.distributed demo
-    (core-isolated single-device workers on the CPU backend — the honest
-    proxy for per-chip scaling on this single-chip machine; the compiled
-    replay is collective-free, see eval/scaling.py)."""
+def measure_starmap() -> dict:
+    """On-chip StarMap inference fps (scripts/starmap_bench.py): the CNN
+    stage of the object pipeline in a timed path. Composed with the staged
+    objects scan into e2e_objects_cnn_fps = 1/(1/fps_scan + 1/fps_cnn) —
+    the serial per-frame budget when the CNN runs in-loop every frame
+    (the reference's starmap.cpp:606-696 role); the remaining host stage
+    (geometric label assignment) is not yet in-graph and is excluded."""
     here = os.path.dirname(os.path.abspath(__file__))
     try:
         r = subprocess.run(
-            [sys.executable, os.path.join(here, "scripts", "multihost_scaling.py"),
-             "--procs", "4", "--frames", "150"],
-            capture_output=True, text=True, timeout=900,
+            [sys.executable, os.path.join(here, "scripts", "starmap_bench.py")],
+            capture_output=True, text=True, timeout=1800,
         )
         for line in reversed(r.stdout.strip().split("\n")):
             if line.startswith("{"):
                 out = json.loads(line)
-                return {"scaling_efficiency_4host": out["scaling_efficiency"],
-                        "scaling_hosts": out["hosts"]}
-        raise RuntimeError(r.stderr[-300:])
+                return {"starmap_infer_fps": out["frames_per_sec"],
+                        "starmap_crops_per_sec": out["crops_per_sec"]}
+        raise RuntimeError(r.stderr[-200:])
     except Exception as e:  # noqa: BLE001 — bench must always produce a line
-        return {"scaling_efficiency_4host": float("nan"),
-                "scaling_error": str(e)[:200]}
+        return {"starmap_infer_fps": float("nan"),
+                "starmap_error": str(e)[:200]}
+
+
+def measure_scaling_efficiency(runs: int = 3) -> dict:
+    """Weak-scaling efficiency via the 4-process jax.distributed demo
+    (core-isolated single-device workers on the CPU backend — the honest
+    proxy for per-chip scaling on this single-chip machine; the compiled
+    replay is collective-free, see eval/scaling.py).
+
+    Reports the MEDIAN of `runs` runs plus the spread (round-4 VERDICT
+    weak #6: single-shot numbers published a +-10% noise band as a point
+    estimate — three rounds printed 0.969 / 1.152 / 1.042). Medians > 1.0
+    remain possible (the 1-host denominator is itself one measurement on a
+    shared box) and are reported as measured, with the spread alongside."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    vals = []
+    err = ""
+    for _ in range(runs):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.join(here, "scripts", "multihost_scaling.py"),
+                 "--procs", "4", "--frames", "150"],
+                capture_output=True, text=True, timeout=900,
+            )
+            for line in reversed(r.stdout.strip().split("\n")):
+                if line.startswith("{"):
+                    vals.append(float(json.loads(line)["scaling_efficiency"]))
+                    break
+            else:
+                err = r.stderr[-200:]
+        except Exception as e:  # noqa: BLE001 — bench must always produce a line
+            err = str(e)[:200]
+    if not vals:
+        return {"scaling_efficiency_4host": float("nan"), "scaling_error": err}
+    return {"scaling_efficiency_4host": round(float(np.median(vals)), 3),
+            "scaling_efficiency_spread": [round(min(vals), 3), round(max(vals), 3)],
+            "scaling_runs": len(vals),
+            "scaling_hosts": 4}
 
 
 def main():
@@ -400,6 +444,12 @@ def main():
     except Exception as e:  # noqa: BLE001 — bench must always produce a line
         objm = {"e2e_objects_fps": float("nan"),
                 "objects_error": str(e)[:200]}
+    objm.update(measure_starmap())
+    fps_scan = objm.get("e2e_objects_fps")
+    fps_cnn = objm.get("starmap_infer_fps")
+    if fps_scan == fps_scan and fps_cnn == fps_cnn and fps_scan and fps_cnn:
+        objm["e2e_objects_cnn_fps"] = round(
+            1.0 / (1.0 / fps_scan + 1.0 / fps_cnn), 1)
 
     ref_fps = float(ref.get("fps", REF_FALLBACK["fps"]))
     ref_backend_fps = (

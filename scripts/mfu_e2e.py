@@ -20,6 +20,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+import jax as _jax
+
+_jax.config.update("jax_compilation_cache_dir", "/tmp/orcvio_jax_cache")
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 # TPU v5e (v5 lite) peak: 394 TOPS int8, 197 TFLOP/s bf16; f32 via MXU
 # passes ~ 1/4 of bf16. cost_analysis flops are precision-blind operation
 # counts, so report MFU against the bf16 peak (the optimistic denominator —
