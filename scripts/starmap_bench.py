@@ -52,7 +52,7 @@ def main():
 
     rng = np.random.default_rng(0)
     sets = [jax.device_put(jnp.asarray(
-        rng.uniform(0, 255, (T, M, size, size)).astype(np.float32)))
+        rng.uniform(0, 1, (T, M, size, size, 3)).astype(np.float32)))
         for _ in range(4)]
     jax.block_until_ready(sets)
     out = jax.block_until_ready(scan_frames(sets[0]))
