@@ -86,6 +86,15 @@ class FilterConfig:
     # prefer "qr" when m grows >> D (large windows / many update features).
     update_form: str = "direct"
 
+    # Joseph-form covariance update P <- (I-KH) P (I-KH)^T + sigma^2 K K^T:
+    # unconditionally PSD-preserving where the economical (I-KH)P form
+    # accumulates asymmetric roundoff on long f32 horizons (the 3600-frame
+    # CPU-f32 replay diverges with the economical form; see
+    # measurements/long_replay_3600.json). Two extra D x D matmuls per
+    # update — cheap on the MXU. Applies to the row-form updates
+    # (direct/qr/chol); Schmidt semantics keep their specialized forms.
+    joseph_form: bool = False
+
     # object-residual update: transport the LM residual from its (stale)
     # linearization poses to the CURRENT clone estimates before the Kalman
     # step (r_now = r_lm + J_cam (wTc_now <- wTc_lm)). The reference feeds the

@@ -247,6 +247,11 @@ def apply_ekf_update(cfg: FilterConfig, state: FilterState, H, r):
         P_nn = state.P[nb:, nb:]
         P = I_KH @ state.P
         P = P.at[nb:, nb:].set(P_nn)
+    elif cfg.joseph_form and not schmidt:
+        # Joseph stabilized form: PSD for ANY gain, so asymmetric f32
+        # roundoff cannot push P indefinite on long horizons (the economical
+        # form below diverges at ~3600 frames in f32; config comment).
+        P = I_KH @ state.P @ I_KH.T + sigma2 * (K @ K.T)
     else:
         P = I_KH @ state.P
         if schmidt:

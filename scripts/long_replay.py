@@ -34,7 +34,7 @@ ROOT = "/tmp/orcvio_long_seq"
 FRAMES = 3600
 
 
-def main():
+def main(joseph: bool = False):
     import bench
     from orcvio_tpu.config.core import FilterConfig
     from orcvio_tpu.config.yaml_io import load_reference_yaml
@@ -72,7 +72,8 @@ def main():
     # --- ours, CPU f32 ---
     dtype = jnp.float32
     cfg0, cam, fe = load_reference_yaml(cfg_path)
-    cfg = FilterConfig(**{**cfg0.__dict__, "imu_slab": 16})
+    cfg = FilterConfig(**{**cfg0.__dict__, "imu_slab": 16,
+                          "joseph_form": joseph})
     tc = TrackerConfig(
         height=cam.height, width=cam.width, pyramid_levels=fe.pyramid_levels + 1,
         capacity=fe.max_features_num, min_distance=float(fe.min_distance),
@@ -111,13 +112,16 @@ def main():
 
     result = {
         "frames": n, "seconds_of_flight": n / 20.0,
+        "joseph_form": joseph,
         "ate_ours_m": ours_ate, "ate_ref_m": ref_ate,
         "fps_ours_cpu_f32": round(n / ours_s, 1),
         "fps_ref": ref.get("fps"), "ref_note": ref.get("note", ""),
         "rmse_rot_ours_deg": round(float(m.get("rmse_rot_deg", float("nan"))), 3)
         if "rmse_rot_deg" in m else None,
     }
-    out_path = os.path.join(REPO, "measurements", "long_replay_3600.json")
+    suffix = "_joseph" if joseph else ""
+    out_path = os.path.join(REPO, "measurements",
+                            f"long_replay_3600{suffix}.json")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
@@ -125,4 +129,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(joseph="--joseph" in sys.argv)

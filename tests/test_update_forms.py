@@ -87,3 +87,28 @@ class TestUpdateForms:
             lambda s, f: run_sequence(cfg_dir, s, f, chi2))(st, frames)
         d = np.linalg.norm(np.asarray(outs_d.p) - np.asarray(outs_qr.p), axis=1)
         assert d.max() < 1e-6, d.max()
+
+
+def test_joseph_form_matches_and_psd():
+    """Joseph-form P <- (I-KH) P (I-KH)^T + sigma^2 K K^T equals the
+    economical (I-KH)P form in exact arithmetic and is PSD-preserving by
+    construction (the long-f32-horizon divergence fix, config joseph_form)."""
+    cfg, st, frames, chi2 = ge._build(CFG_KW, SIM_KW, jnp.float64)
+    D = st.P.shape[0]
+    rng = np.random.default_rng(7)
+    A = rng.normal(size=(D, D)) * 0.02
+    P = A @ A.T + 1e-4 * np.eye(D)
+    st = st.replace(P=jnp.asarray(P))
+    B = rng.normal(size=(8, D))
+    C = rng.normal(size=(40, 8))
+    H = jnp.asarray(C @ B)
+    r = jnp.asarray(rng.normal(size=40) * 0.01)
+    cfg_dir = replace(cfg, update_form="direct")
+    st_e, dx_e = apply_ekf_update(cfg_dir, st, H, r)
+    cfg_j = replace(cfg, update_form="direct", joseph_form=True)
+    st_j, dx_j = apply_ekf_update(cfg_j, st, H, r)
+    np.testing.assert_allclose(np.asarray(dx_j), np.asarray(dx_e), atol=1e-10)
+    dP = np.linalg.norm(np.asarray(st_j.P) - np.asarray(st_e.P))
+    assert dP / np.linalg.norm(np.asarray(st_e.P)) < 1e-8, dP
+    ev = np.linalg.eigvalsh(np.asarray(st_j.P))
+    assert ev.min() > -1e-12, ev.min()
